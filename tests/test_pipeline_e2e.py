@@ -1,0 +1,96 @@
+"""End-to-end golden test (SURVEY.md §5.2.3): transcripts -> full
+pipeline -> alignments, compared against (a) the single-node numpy
+oracle (exact score match — strictly stronger than the P/R bar) and
+(b) the gold alignment fixture at P/R >= 0.95 (the BASELINE.json bar).
+Plus determinism (two runs hash-identical) and the blocked-candidates
+recall contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from veealign_spark.operators import metrics, oracle_np
+from veealign_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, transcripts_sdf):
+    cfg = PipelineConfig()
+    return run_pipeline(spark, transcripts_sdf, cfg), cfg
+
+
+def test_scores_match_oracle(spark, pipeline_result, fixture_pair):
+    (res, cfg) = pipeline_result
+    got = (
+        res["scores"]
+        .toPandas()
+        .sort_values(["ent1", "ent2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle_np.align(fixture_pair["triples"], cfg.kernel_params())
+        .sort_values(["ent1", "ent2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want), (len(got), len(want))
+    assert (got["ent1"] == want["ent1"]).all()
+    assert (got["ent2"] == want["ent2"]).all()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9
+    )
+
+
+def test_pr_vs_gold(spark, pipeline_result, fixture_pair):
+    (res, _) = pipeline_result
+    gold_sdf = spark.createDataFrame(fixture_pair["gold"])
+    m = metrics.pr_metrics(res["accepted"], gold_sdf).collect()[0]
+    assert m["precision"] >= 0.95, m
+    assert m["recall"] >= 0.95, m
+
+
+def test_determinism(spark, transcripts_sdf, pipeline_result):
+    (res1, cfg) = pipeline_result
+    res2 = run_pipeline(spark, transcripts_sdf, cfg)
+
+    def fingerprint(res):
+        pdf = res["accepted"].select("ent1", "ent2", "score").toPandas()
+        pdf = pdf.sort_values(["ent1", "ent2"]).reset_index(drop=True)
+        return list(
+            zip(pdf.ent1, pdf.ent2, pdf.score.round(9))
+        )
+
+    assert fingerprint(res1) == fingerprint(res2)
+
+
+def test_kg_materialization(spark, pipeline_result, fixture_pair):
+    (res, _) = pipeline_result
+    # every accepted pair's two entities share one canonical id
+    cl = {r["entity"]: r["canon_id"] for r in res["clusters"].collect()}
+    for r in res["accepted"].collect():
+        assert cl[r["ent1"]] == cl[r["ent2"]]
+    # canonical triples deduplicate the two sources' matched structure:
+    # strictly fewer canonical triples than raw prefixed triples
+    n_raw = res["triples"].count()
+    n_canon = res["kg_triples"].count()
+    assert 0 < n_canon < n_raw
+    # entities referenced by kg_triples all exist in kg_entities
+    ents = {r["entity"] for r in res["kg_entities"].collect()}
+    for r in res["kg_triples"].collect():
+        assert r["subj"] in ents and r["obj"] in ents
+
+
+def test_blocked_candidates_cover_accepted(spark, transcripts_sdf, pipeline_result):
+    """Blocking recall contract: blocked candidate generation must
+    retain every pair the full cross product accepts at threshold."""
+    (res_cross, cfg) = pipeline_result
+    cfg_blocked = PipelineConfig(blocking="blocked")
+    res_blocked = run_pipeline(spark, transcripts_sdf, cfg_blocked)
+    acc_cross = {
+        (r["ent1"], r["ent2"]) for r in res_cross["accepted"].collect()
+    }
+    acc_blocked = {
+        (r["ent1"], r["ent2"]) for r in res_blocked["accepted"].collect()
+    }
+    assert acc_cross == acc_blocked

@@ -1,0 +1,121 @@
+"""Candidate-pair generation (J1-J3; SURVEY.md §2.3).
+
+The reference takes the full itertools.product of the two concept
+universes (data_preprocessing.py:53-54) — O(n1*n2) pairs is fine at
+OAEI fixture scale (~100 concepts a side) and fatal at 10^12-turn
+scale. This module provides both:
+
+- `cross_candidates`: the faithful cross product (fixture scale, and
+  the recall oracle for blocking tests);
+- `blocked_candidates`: SparkER-style token blocking (cf. "SparkER:
+  Scaling Entity Resolution in Spark", EDBT 2019 — PAPERS.md): each
+  entity emits one blocking key per normalized-name token (plus its
+  top root ancestor as a context key), candidates are the equi-join on
+  key, deduplicated. Head tokens (stopword-ish, Zipf-hot) are the skew
+  hazard: keys whose frequency exceeds `hot_key_threshold` are salted
+  — the hot side gets pmod(xxhash64(id), n_salt) appended, the other
+  side is replicated across all salt values (explicit replicate
+  pattern; AQE skew-join remains on as the fallback). This is the
+  north_rule "skew handled explicitly" clause.
+
+Blocking recall contract: any pair sharing >=1 normalized name token
+or a top ancestor survives. Pairs with zero lexical/context overlap
+are exactly the ones the name-embedding kernel scores ~0, so blocking
+loses only pairs the threshold would reject (verified by
+tests/test_candidates.py equivalence test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from veealign_spark.functions.text_norm import norm_label_col
+
+
+def with_norm(concepts: DataFrame) -> DataFrame:
+    """P1/P2-style normalized label: coalesce(label, id) -> norm tokens.
+
+    (The reference resolves coded IDs to rdfs:labels, ontology.py:
+    224-227; here `label` plays that role when present.)
+    """
+    base = F.coalesce(F.col("label"), F.col("id"))
+    return concepts.withColumn("norm", norm_label_col(base)).withColumn(
+        "key", F.concat_ws("#", "src", "id")
+    )
+
+
+def cross_candidates(c1: DataFrame, c2: DataFrame) -> DataFrame:
+    """J1 faithful cross product of two concept universes -> (ent1, ent2)."""
+    return c1.select(F.col("key").alias("ent1")).crossJoin(
+        c2.select(F.col("key").alias("ent2"))
+    )
+
+
+def _blocking_keys(concepts: DataFrame, top_ancestor: DataFrame | None) -> DataFrame:
+    toks = with_norm(concepts).select(
+        "key", F.explode(F.split("norm", " ")).alias("block_key")
+    )
+    if top_ancestor is not None:
+        anc = top_ancestor.select(
+            F.concat_ws("#", "src", "entity").alias("key"),
+            F.concat(F.lit("anc:"), F.col("ancestor")).alias("block_key"),
+        )
+        toks = toks.unionByName(anc)
+    return toks.filter(F.col("block_key") != "").dropDuplicates()
+
+
+def blocked_candidates(
+    c1: DataFrame,
+    c2: DataFrame,
+    anc1: DataFrame | None = None,
+    anc2: DataFrame | None = None,
+    hot_key_threshold: int = 1000,
+    n_salt: int = 16,
+) -> DataFrame:
+    """J1' blocked candidate join with explicit hot-key salting."""
+    k1 = _blocking_keys(c1, anc1)
+    k2 = _blocking_keys(c2, anc2)
+
+    # hot-key census on the (assumed larger) side 1; at cluster scale
+    # this is a cheap pre-aggregation compared to the join it protects
+    freq = k1.groupBy("block_key").count()
+    hot = freq.filter(F.col("count") > hot_key_threshold).select(
+        "block_key", F.lit(True).alias("is_hot")
+    )
+
+    k1s = (
+        k1.join(F.broadcast(hot), "block_key", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot"), F.pmod(F.xxhash64("key"), F.lit(n_salt))
+            ).otherwise(F.lit(0)),
+        )
+        .drop("is_hot")
+    )
+    salts = F.when(
+        F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))
+    ).otherwise(F.array(F.lit(0)))
+    k2s = (
+        k2.join(F.broadcast(hot), "block_key", "left")
+        .withColumn("salt", F.explode(salts.cast("array<bigint>")))
+        .drop("is_hot")
+    )
+    return (
+        k1s.join(k2s.withColumnRenamed("key", "key2"), ["block_key", "salt"])
+        .select(F.col("key").alias("ent1"), F.col("key2").alias("ent2"))
+        .dropDuplicates()
+    )
+
+
+def label_candidates(candidates: DataFrame, gold: DataFrame) -> DataFrame:
+    """J3: left-join gold labels; unmatched gold pairs surfaced via
+    anti-join (the reference warns on them, data_preprocessing.py:
+    74-82). Returns candidates + y:boolean."""
+    g = gold.select("ent1", "ent2").withColumn("y", F.lit(True))
+    return candidates.join(g, ["ent1", "ent2"], "left").fillna(False, ["y"])
+
+
+def unmatched_gold(candidates: DataFrame, gold: DataFrame) -> DataFrame:
+    return gold.join(candidates, ["ent1", "ent2"], "left_anti")

@@ -1,0 +1,89 @@
+"""Evaluation metrics + single-pass threshold sweep (A8, A9).
+
+The reference evaluates P/R/F at every threshold in a 0.001-step grid,
+re-scanning all pairs per step (train.py:195-235 — O(steps * pairs)).
+Re-expressed as ONE window pass: sort pairs by score desc, cumulative
+tp/fp via running counts, which yields the entire P/R curve; picking
+the argmax-F1 threshold is then a scan of the curve. This is the
+classic Spark-side PR-curve trick and is O(pairs log pairs) total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pr_metrics(predicted: DataFrame, gold: DataFrame) -> DataFrame:
+    """A8: one-row (tp, fp, fn, precision, recall, f1, f2, f05) for an
+    accepted-pair set vs gold (formulas at train.py:219-224)."""
+    p = predicted.select("ent1", "ent2").dropDuplicates()
+    g = gold.select("ent1", "ent2").dropDuplicates()
+    tp = p.join(g, ["ent1", "ent2"], "left_semi").count()
+    fp = p.join(g, ["ent1", "ent2"], "left_anti").count()
+    fn = g.join(p, ["ent1", "ent2"], "left_anti").count()
+    spark = predicted.sparkSession
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+
+    def fb(beta: float) -> float:
+        b2 = beta * beta
+        return (
+            (1 + b2) * prec * rec / (b2 * prec + rec) if (prec + rec) else 0.0
+        )
+
+    return spark.createDataFrame(
+        [(tp, fp, fn, prec, rec, fb(1.0), fb(2.0), fb(0.5))],
+        "tp long, fp long, fn long, precision double, recall double, f1 double, f2 double, f05 double",
+    )
+
+
+def pr_curve(scores: DataFrame, gold: DataFrame) -> DataFrame:
+    """A9 (single-pass form): full precision/recall curve.
+
+    scores(ent1, ent2, score) + gold -> one row per distinct score
+    (threshold candidate) with cumulative tp/fp and P/R/F1 as if the
+    threshold were set at that score.
+    """
+    labeled = scores.join(
+        gold.select("ent1", "ent2").withColumn("y", F.lit(1)),
+        ["ent1", "ent2"],
+        "left",
+    ).fillna(0, ["y"])
+    n_gold = gold.select("ent1", "ent2").dropDuplicates().count()
+    w = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = (
+        labeled.withColumn("tp", F.sum("y").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        # ties: keep the last row per score so every threshold includes
+        # ALL pairs at that score (>= semantics, test.py:368)
+        .groupBy("score")
+        .agg(F.max("tp").alias("tp"), F.max("n").alias("n"))
+        .withColumn("fp", F.col("n") - F.col("tp"))
+        .withColumn("precision", F.col("tp") / F.col("n"))
+        .withColumn("recall", F.col("tp") / F.lit(float(n_gold)))
+    )
+    return curve.withColumn(
+        "f1",
+        F.when(
+            F.col("precision") + F.col("recall") > 0,
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+        ).otherwise(F.lit(0.0)),
+    ).select("score", "tp", "fp", "n", "precision", "recall", "f1")
+
+
+def best_threshold(scores: DataFrame, gold: DataFrame) -> tuple[float, float]:
+    """Argmax-F1 threshold from the curve (train.py:608-611 semantics:
+    model selection maximizes F1; grid step collapses to the exact
+    attained score levels, which dominate any grid)."""
+    row = (
+        pr_curve(scores, gold)
+        .orderBy(F.col("f1").desc(), F.col("score").desc())
+        .select("score", "f1")
+        .first()
+    )
+    return (float(row["score"]), float(row["f1"])) if row else (1.0, 0.0)

@@ -1,0 +1,274 @@
+"""End-to-end KG-construction pipeline (SURVEY.md §3.4 target lifecycle).
+
+transcripts -> extract mentions (vectorized) -> triples staging ->
+contexts (A1-A5, G1-G2) -> candidates (J1'/J2, cross or blocked+salted)
+-> dual-attention scoring (K1-K9 pandas UDF) -> threshold (P6) ->
+connected components (G3) -> canonical kg_* tables + lineage/metrics.
+
+Resumability (north_rule): every stage boundary can snapshot to
+parquet under checkpoint_dir/stage=<name> (Iceberg snapshots on a real
+cluster — parquet is the sandbox stand-in, same semantics: a completed
+stage directory is skipped on re-run). Each snapshot also writes a
+per-partition lineage row-count table and appends to a run-metrics
+ledger, so a resumed run can prove which partitions came from which
+stage execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from veealign_spark.operators import candidates as cand
+from veealign_spark.operators import canonicalize, contexts, scoring
+from veealign_spark.operators.kernel_np import KernelParams, default_params
+from veealign_spark.sources import transcripts as src_transcripts
+
+
+@dataclass
+class PipelineConfig:
+    max_paths: int = 2
+    max_pathlen: int = 4
+    max_types: int = 4
+    bag_of_neighbours: bool = False
+    weighted_sum: bool = True
+    emb_dim: int = 32
+    threshold: float = 0.90
+    blocking: str = "cross"  # "cross" (fixture) | "blocked" (scale)
+    hot_key_threshold: int = 1000
+    n_salt: int = 16
+    checkpoint_dir: str | None = None
+    extractor: str = "jvm"  # "jvm" | "pandas"
+    params_seed: int = 7
+    score_partitions: int | None = None
+
+    def kernel_params(self) -> KernelParams:
+        p = default_params(
+            emb_dim=self.emb_dim,
+            n_types=self.max_types,
+            max_paths=self.max_paths,
+            max_pathlen=self.max_pathlen,
+            threshold=self.threshold,
+            seed=self.params_seed,
+        )
+        p.weighted_sum = self.weighted_sum
+        return p
+
+
+class StageLedger:
+    """Stage snapshot/resume + per-partition lineage + metrics."""
+
+    def __init__(self, spark: SparkSession, root: str | None):
+        self.spark = spark
+        self.root = root
+        self.metrics: list[dict] = []
+
+    def _path(self, name: str) -> str | None:
+        return os.path.join(self.root, f"stage={name}") if self.root else None
+
+    def done(self, name: str) -> bool:
+        p = self._path(name)
+        return bool(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def load(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    def snapshot(self, name: str, df: DataFrame) -> DataFrame:
+        """Write stage output + lineage; return the re-read DataFrame
+        (cuts lineage like a checkpoint and makes resume exact)."""
+        p = self._path(name)
+        t0 = time.time()
+        if p is None:
+            df = df.localCheckpoint(eager=True)
+            n = df.count()
+            self.metrics.append({"stage": name, "rows": n, "sec": time.time() - t0})
+            return df
+        df.write.mode("overwrite").parquet(p)
+        out = self.spark.read.parquet(p)
+        lineage = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count(F.lit(1)).alias("rows")
+        )
+        lineage.withColumn("stage", F.lit(name)).write.mode("overwrite").parquet(
+            os.path.join(self.root, f"lineage/stage={name}")
+        )
+        n = out.count()
+        self.metrics.append({"stage": name, "rows": n, "sec": time.time() - t0})
+        return out
+
+    def stage(self, name: str, build) -> DataFrame:
+        if self.done(name):
+            df = self.load(name)
+            self.metrics.append({"stage": name, "rows": df.count(), "resumed": True})
+            return df
+        return self.snapshot(name, build())
+
+    def flush(self) -> None:
+        if self.root:
+            with open(os.path.join(self.root, "metrics.json"), "w") as f:
+                json.dump(self.metrics, f, indent=1)
+
+
+def concepts_from_triples(triples: DataFrame) -> DataFrame:
+    """Concept universe: subclass endpoints + obj-prop endpoints +
+    datatype-prop subjects (datatype ranges are literal types, not
+    concepts — mirrors the reference's owl:Class universe)."""
+    sub = triples.filter(F.col("kind") == "Subclass")
+    obj = triples.filter(F.col("kind") == "Object Property")
+    dat = triples.filter(F.col("kind") == "Datatype Property")
+    ents = (
+        sub.select("src", F.col("subj").alias("id"))
+        .unionByName(sub.select("src", F.col("obj").alias("id")))
+        .unionByName(obj.select("src", F.col("subj").alias("id")))
+        .unionByName(obj.select("src", F.col("obj").alias("id")))
+        .unionByName(dat.select("src", F.col("subj").alias("id")))
+        .distinct()
+    )
+    return ents.withColumn("label", F.lit(None).cast("string"))
+
+
+def props_from_triples(triples: DataFrame) -> DataFrame:
+    return (
+        triples.filter(F.col("kind") != "Subclass")
+        .select("src", F.col("pred").alias("id"), "kind")
+        .distinct()
+        .withColumn("label", F.lit(None).cast("string"))
+    )
+
+
+def _source_pairs(concepts: DataFrame) -> list[tuple[str, str]]:
+    srcs = sorted(r["src"] for r in concepts.select("src").distinct().collect())
+    return [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    config: PipelineConfig | None = None,
+) -> dict:
+    """Full pipeline. Returns dict of result DataFrames + metrics."""
+    cfg = config or PipelineConfig()
+    ledger = StageLedger(spark, cfg.checkpoint_dir)
+    params = cfg.kernel_params()
+
+    extract = (
+        src_transcripts.extract_mentions
+        if cfg.extractor == "jvm"
+        else src_transcripts.extract_mentions_pandas
+    )
+    mentions = extract(transcripts)
+    triples = ledger.stage(
+        "triples", lambda: src_transcripts.mentions_to_triples(mentions)
+    )
+
+    ctx = ledger.stage(
+        "contexts",
+        lambda: contexts.build_contexts(
+            triples,
+            bag_of_neighbours=cfg.bag_of_neighbours,
+            max_pathlen=cfg.max_pathlen,
+        ),
+    )
+    features = ledger.stage(
+        "features",
+        lambda: contexts.assemble_features(
+            ctx, cfg.max_types, cfg.max_paths, cfg.max_pathlen
+        ),
+    )
+    prop_ctx = ledger.stage("prop_contexts", lambda: contexts.build_prop_contexts(triples))
+
+    concepts = concepts_from_triples(triples)
+    props = props_from_triples(triples)
+
+    # embeddings: distributed dim table -> broadcast (indexer, matrix)
+    terms = [
+        r["term"]
+        for r in scoring.term_universe(triples, concepts).collect()
+    ]
+    emb_bc = scoring.EmbBroadcast.from_terms(spark, terms, cfg.emb_dim)
+
+    # candidate generation per source pair
+    pairs = _source_pairs(concepts)
+    all_cand = None
+    anc = None
+    if cfg.blocking == "blocked":
+        # top root ancestor as a context blocking key
+        rp = contexts.build_root_paths(triples, max_pathlen=cfg.max_pathlen)
+        anc = rp.select(
+            "src", "entity", F.element_at("path", -1).alias("ancestor")
+        ).dropDuplicates()
+    for a, b in pairs:
+        ca = cand.with_norm(concepts.filter(F.col("src") == a))
+        cb = cand.with_norm(concepts.filter(F.col("src") == b))
+        if cfg.blocking == "cross":
+            c = cand.cross_candidates(ca, cb)
+        else:
+            c = cand.blocked_candidates(
+                ca,
+                cb,
+                anc.filter(F.col("src") == a) if anc is not None else None,
+                anc.filter(F.col("src") == b) if anc is not None else None,
+                hot_key_threshold=cfg.hot_key_threshold,
+                n_salt=cfg.n_salt,
+            )
+        all_cand = c if all_cand is None else all_cand.unionByName(c)
+
+    prop_cand = None
+    for a, b in pairs:
+        for kind in ("Object Property", "Datatype Property"):
+            pa = props.filter((F.col("src") == a) & (F.col("kind") == kind))
+            pb = props.filter((F.col("src") == b) & (F.col("kind") == kind))
+            pc = cand.cross_candidates(cand.with_norm(pa), cand.with_norm(pb))
+            prop_cand = pc if prop_cand is None else prop_cand.unionByName(pc)
+
+    empty_pairs = spark.createDataFrame([], "ent1 string, ent2 string")
+    if all_cand is None:
+        all_cand = empty_pairs
+    if prop_cand is None:
+        prop_cand = empty_pairs
+
+    candidates_df = ledger.stage("candidates", lambda: all_cand)
+    if cfg.score_partitions:
+        candidates_df = candidates_df.repartition(cfg.score_partitions)
+
+    scores_c = scoring.score_concept_candidates(
+        candidates_df, features, emb_bc, params, cfg.max_types
+    ).withColumn("is_prop", F.lit(False))
+    scores_p = scoring.score_prop_candidates(
+        prop_cand, prop_ctx, emb_bc, params
+    ).withColumn("is_prop", F.lit(True))
+    scores = ledger.stage("scores", lambda: scores_c.unionByName(scores_p))
+
+    alignments = ledger.stage(
+        "alignments",
+        lambda: scores.withColumn(
+            "accepted", F.col("score") >= F.lit(params.threshold)
+        ),
+    )
+    accepted = alignments.filter(F.col("accepted"))
+
+    clusters = ledger.stage(
+        "clusters", lambda: canonicalize.connected_components(accepted)
+    )
+    kg = canonicalize.materialize_kg(triples, clusters)
+    kg = {k: ledger.stage(k, lambda df=v: df) for k, v in kg.items()}
+
+    ledger.flush()
+    return {
+        "triples": triples,
+        "contexts": ctx,
+        "features": features,
+        "prop_contexts": prop_ctx,
+        "candidates": candidates_df,
+        "scores": scores,
+        "alignments": alignments,
+        "accepted": accepted,
+        "clusters": clusters,
+        "metrics": ledger.metrics,
+        "params": params,
+        **kg,
+    }
