@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk`: brute-force top-k — the exact baseline. The dot
+  product is a pure SQL expression (zip_with + left-fold aggregate in
+  a fixed order, so results are bit-reproducible across engines), the
+  top-k is a window. O(|Q| * |C|) — fine for moderate |Q|, and the
+  recall oracle for the bucketed variant.
+- `cosine_neardup_blocked`: all pairs above a cosine threshold within
+  a blocking column (e.g. a coarse cluster label) — the blocked form
+  that scales.
+- `lsh_hyperplane_buckets` + `lsh_topk`: random-hyperplane signed LSH.
+  Hyperplanes are deterministic (seeded) and shipped as a literal
+  array expression, so bucketing stays JVM-side; at 100 TB the bucket
+  join replaces the cross join entirely (probe multiple tables /
+  hamming-adjacent buckets to trade recall for cost).
+
+All cosines are computed in float64 regardless of storage type.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from veealign_spark.functions.text_norm import cosine_expr
+
+
+def _norm2(c):
+    return F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbours of each query among the corpus
+    (self-matches excluded). Returns (query_id, neighbor_id, rank, cos)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def cosine_neardup_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs (cos >= threshold) within blocks."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("v")
+    )
+    a = e.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), round_to))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_hyperplane_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — bucket = sign-bit signature under seeded random
+    hyperplanes, computed as a literal-array dot product (JVM-side)."""
+    H = hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col)
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in H[j]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 10,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within LSH buckets.
+    The scale path — the cross join shrinks to bucket-local joins."""
+    b = lsh_hyperplane_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        b, "id"
+    )
+    a = e.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket")
+    c = e.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

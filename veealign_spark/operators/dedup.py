@@ -1,0 +1,165 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Four families, all expressed in built-in JVM functions (no Python in
+the hot path) so they whole-stage-codegen and scale linearly:
+
+- exact: md5(text) hash-groupBy — the map-side-combinable classic.
+- MinHash + LSH banding: shingle -> seeded min-hash per band ->
+  band-bucket equi-join. Hash = md5(seed || shingle) compared as a
+  hex *string*: min over a uniformly distributed injective hex string
+  is a valid min-hash and is engine-portable (identical in any SQL
+  engine with md5), which keeps these operators oracle-checkable.
+- SimHash: per-token md5-derived bit votes -> fingerprint int.
+- n-gram Jaccard: shared-shingle equi-join + |A∩B| / |A∪B|.
+
+Scale notes: the shingle self-join is the skew point (stop-shingles) —
+`max_shingle_freq` drops shingles whose document frequency exceeds the
+cap, the standard stop-shingle guard in MinHash dedup at corpus scale;
+at 100 TB the band join keys get salted exactly like candidates.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens_col(text, pattern: str = r"\s+"):
+    return F.filter(F.split(text, pattern), lambda w: w != "")
+
+
+def shingles_col(text, n: int = 3):
+    """Word n-gram shingles of a text column (array<string>).
+    NB: sequence(1, 0) in Spark is DESCENDING [1, 0], so texts shorter
+    than n need the explicit empty branch."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup: one row per distinct text with keeper + group size."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def doc_shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    sh = documents.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
+    )
+    return sh.dropDuplicates(["doc_id", "shingle"]) if distinct else sh
+
+
+def minhash_signatures(
+    documents: DataFrame, n_bands: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, band, minhash) — one min-hash per band via seeded md5."""
+    sh = doc_shingles(documents, shingle_n)
+    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    return (
+        sh.select("doc_id", "shingle", bands)
+        .withColumn(
+            "h", F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), "shingle"))
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, n_bands: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing a (band, minhash) bucket,
+    with the number of agreeing bands (est. Jaccard = n_agree/n_bands)."""
+    sig = minhash_signatures(documents, n_bands, shingle_n)
+    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "minhash")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "minhash")
+    return (
+        a.join(b, ["band", "minhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_agree"))
+    )
+
+
+def simhash_fingerprints(documents: DataFrame, n_bits: int = 16) -> DataFrame:
+    """Per-doc SimHash: bit j votes +1/-1 per distinct token by parity
+    of hex char j of md5(token); fingerprint = sum of set bits << j."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).dropDuplicates(["doc_id", "tok"])
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
+        F.md5("tok").alias("h"),
+    ).withColumn(
+        "vote",
+        (F.ascii(F.substring(F.col("h"), F.col("bit") + 1, 1)) % 2) * 2 - 1,
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_freq: int = 100,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs found via the shared-
+    shingle join (optionally restricted to a blocking column)."""
+    sh = doc_shingles(documents, shingle_n)
+    if max_shingle_freq:
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    if block_col:
+        blk = documents.select("doc_id", F.col(block_col).alias("blk"))
+        a = a.join(blk.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        b = b.join(blk.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        inter = a.join(b, ["shingle", "blk"])
+    else:
+        inter = a.join(b, "shingle")
+    pairs = (
+        inter.filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
