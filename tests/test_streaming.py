@@ -1,0 +1,92 @@
+"""Structured Streaming smoke tests: stream == batch for stateless
+extraction; windowed counts; foreachBatch triple upsert is
+idempotent-incremental."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from veealign_spark.sources.transcripts import extract_mentions, mentions_to_triples
+from veealign_spark.streaming import stream_mentions as sm
+
+
+@pytest.fixture(scope="module")
+def staged_transcripts(spark, transcripts_sdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    transcripts_sdf.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_windowed_counts_match_batch(spark, staged_transcripts, transcripts_sdf):
+    got = sm.run_mention_counts_once(spark, staged_transcripts, "t_counts")
+    batch = (
+        extract_mentions(transcripts_sdf, keep_cols=("ts",))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "src", "pred")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    a = {
+        (r["w"]["start"], r["src"], r["pred"]): r["n_mentions"]
+        for r in got.collect()
+    }
+    b = {
+        (r["w"]["start"], r["src"], r["pred"]): r["n_mentions"]
+        for r in batch.collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_foreach_batch_upsert(spark, staged_transcripts, transcripts_sdf, tmp_path):
+    out = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt")
+    got = sm.stream_triples_upsert(spark, staged_transcripts, out, ckpt)
+    want = mentions_to_triples(extract_mentions(transcripts_sdf))
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in want.collect()}
+    assert a == b
+    # re-run over the same input with a fresh checkpoint: no duplicates
+    got2 = sm.stream_triples_upsert(
+        spark, staged_transcripts, out, str(tmp_path / "ckpt2")
+    )
+    assert got2.count() == len(b)
+    assert got2.dropDuplicates().count() == len(b)
+
+
+def test_stateful_sessions(spark, transcripts_sdf, tmp_path):
+    """applyInPandasWithState sessionization: conversations emit when
+    the watermark passes their quiet period (driven by a later batch)."""
+    import datetime
+
+    path = str(tmp_path / "sess_in")
+    transcripts_sdf.write.mode("overwrite").parquet(path)
+
+    sessions = __import__(
+        "veealign_spark.streaming.stream_mentions", fromlist=["x"]
+    ).stream_conversation_sessions(spark, path, gap_minutes=30)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .start()
+    )
+    q.processAllAvailable()
+    # push the watermark far past every conversation + timeout
+    late = spark.createDataFrame(
+        [("srcX_c9", 0, "user", "noop .", None,
+          datetime.datetime(2026, 3, 1))],
+        schema=transcripts_sdf.schema,
+    )
+    late.write.mode("append").parquet(path)
+    q.processAllAvailable()
+    q.stop()
+    got = {r["conv_id"]: r["n_turns"] for r in spark.sql("SELECT * FROM t_sessions").collect()}
+    got.pop("srcX_c9", None)  # the watermark-pusher conv itself
+    want = {
+        r["conv_id"]: r["n"]
+        for r in transcripts_sdf.groupBy("conv_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["x"]).count("*").alias("n")
+        ).collect()
+    }
+    assert got == want, (len(got), len(want))

@@ -65,19 +65,26 @@ def make_ontology_pair(
     n_data_props: int = 10,
     n_matched_props: int = 16,
     seed: int = 42,
+    vocab_size: int | None = None,
 ) -> dict[str, pd.DataFrame]:
     """Two mini-ontologies with a known alignment.
 
     Returns dict with 'concepts', 'triples', 'gold' pandas frames
-    (schemas.CONCEPTS / TRIPLES / GOLD shapes).
+    (schemas.CONCEPTS / TRIPLES / GOLD shapes). vocab_size extends the
+    word vocabulary deterministically — the 40-word default is right
+    for OAEI-sized fixtures but makes token blocking degenerate for
+    1000+-concept bench universes (every token is Zipf-hot).
     """
     rng = np.random.default_rng(seed)
+    words = list(WORDS)
+    if vocab_size and vocab_size > len(words):
+        words += [f"term{i:03d}" for i in range(vocab_size - len(words))]
 
     # --- concept name universes -------------------------------------
     def sample_name(used: set[str]) -> list[str]:
         while True:
             k = int(rng.integers(1, 4))
-            ws = list(rng.choice(WORDS, size=k, replace=False))
+            ws = list(rng.choice(words, size=k, replace=False))
             key = " ".join(ws)
             if key not in used:
                 used.add(key)
@@ -261,6 +268,14 @@ def make_transcripts_df(spark, triples_pdf: pd.DataFrame, copies: int, seed: int
     return (
         base_sdf.crossJoin(reps)
         .withColumn("conv_id", F.concat_ws("_", F.col("conv_id"), F.col("copy")))
+        # per-copy trailing marker: keeps every turn's text unique (as
+        # real transcripts are — otherwise parquet dictionary-encodes
+        # the corpus away and the bench scans 60x less than its
+        # logical size); the marker can't match the mention grammar
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" #session"), F.col("copy").cast("string")),
+        )
         .withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("copy")))
         .drop("copy")
     )

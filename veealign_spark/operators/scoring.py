@@ -255,3 +255,293 @@ def score_prop_candidates(
             )
 
     return joined.mapInPandas(score_fn, "ent1 string, ent2 string, score double")
+
+
+# ---------------------------------------------------------------------------
+# Fast path: JVM-side embedify (J5 as an actual broadcast join) + fixed-shape
+# index tensors. Strings never cross into Python; Arrow ships int64 arrays
+# and the UDF is pure numpy. This is the 100 TB layout — the slow path above
+# is kept as the readable reference and for parity tests.
+# ---------------------------------------------------------------------------
+
+def emb_index_df(spark: SparkSession, emb_bc: EmbBroadcast) -> DataFrame:
+    """(norm, idx) dim table from the broadcast indexer (tiny)."""
+    items = list(emb_bc.bc.value["indexer"].items())
+    return spark.createDataFrame(items, "norm string, idx long")
+
+
+def encode_features(
+    features: DataFrame,
+    emb_idx: DataFrame,
+    max_types: int = 4,
+    max_paths: int = 2,
+    max_pathlen: int = 4,
+) -> DataFrame:
+    """(key, node_idx, fidx) with fidx a dense array<long> of length
+    T*P*L laid out [t][p][l] (row-major), pad/UNK = 0.
+
+    All string normalization + index resolution happens JVM-side via
+    norm_label_col + a broadcast hash join; the ragged->dense scatter
+    uses a position map (map_from_entries + sequence fill).
+    """
+    T, P, L = max_types, max_paths, max_pathlen
+    flat = F.flatten(
+        F.transform(
+            F.col("features"),
+            lambda slot, t: F.flatten(
+                F.transform(
+                    slot,
+                    lambda path, p: F.transform(
+                        path,
+                        lambda tok, l: F.struct(
+                            (t * P * L + p * L + l).alias("pos"),
+                            tok.alias("tok"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    exploded = features.select(
+        F.concat_ws("#", "src", "entity").alias("key"),
+        F.col("entity").alias("ent_local"),
+        F.explode_outer(flat).alias("pt"),
+    ).select(
+        "key",
+        "ent_local",
+        F.col("pt.pos").alias("pos"),
+        norm_label_col(F.col("pt.tok")).alias("norm"),
+    )
+    joined = exploded.join(F.broadcast(emb_idx), "norm", "left").select(
+        "key", "ent_local", "pos", F.coalesce("idx", F.lit(0)).alias("idx")
+    )
+    dense = (
+        joined.groupBy("key", "ent_local")
+        .agg(
+            F.map_from_entries(
+                F.array_agg(
+                    F.when(
+                        F.col("pos").isNotNull(),
+                        F.struct(F.col("pos"), F.col("idx")),
+                    )
+                ).cast("array<struct<pos:int,idx:long>>")
+            ).alias("m")
+        )
+        .select(
+            "key",
+            "ent_local",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(T * P * L - 1)),
+                lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0)),
+            ).alias("fidx"),
+        )
+    )
+    node = dense.select(
+        "key",
+        "fidx",
+        norm_label_col(F.col("ent_local")).alias("norm"),
+    ).join(F.broadcast(emb_idx), "norm", "left")
+    return node.select(
+        "key", F.coalesce("idx", F.lit(0)).alias("node_idx"), "fidx"
+    )
+
+
+def encode_node_idx(concepts_keys: DataFrame, emb_idx: DataFrame) -> DataFrame:
+    """(key, node_idx) for candidate entities (direct-route lookups)."""
+    local = F.substring_index(F.col("key"), "#", -1)
+    return (
+        concepts_keys.select("key", norm_label_col(local).alias("norm"))
+        .join(F.broadcast(emb_idx), "norm", "left")
+        .select("key", F.coalesce("idx", F.lit(0)).alias("node_idx"))
+    )
+
+
+def score_concept_candidates_fast(
+    candidates: DataFrame,
+    enc_features: DataFrame,
+    emb_bc: EmbBroadcast,
+    params: KernelParams,
+    max_types: int = 4,
+) -> DataFrame:
+    """Fast scorer over pre-encoded features. Rows missing an encoded
+    entry take the direct cosine route (A6) using node indices resolved
+    JVM-side the same way."""
+    spark = candidates.sparkSession
+    emb_idx = emb_index_df(spark, emb_bc)
+    cand_keys = (
+        candidates.select(F.col("ent1").alias("key"))
+        .unionByName(candidates.select(F.col("ent2").alias("key")))
+        .distinct()
+    )
+    nodes = encode_node_idx(cand_keys, emb_idx)
+    f = enc_features.select("key", "node_idx", "fidx")
+    j = (
+        candidates.join(
+            f.select(
+                F.col("key").alias("ent1"),
+                F.col("node_idx").alias("n1"),
+                F.col("fidx").alias("f1"),
+            ),
+            "ent1",
+            "left",
+        )
+        .join(
+            f.select(
+                F.col("key").alias("ent2"),
+                F.col("node_idx").alias("n2"),
+                F.col("fidx").alias("f2"),
+            ),
+            "ent2",
+            "left",
+        )
+        .join(
+            nodes.select(F.col("key").alias("ent1"), F.col("node_idx").alias("d1")),
+            "ent1",
+            "left",
+        )
+        .join(
+            nodes.select(F.col("key").alias("ent2"), F.col("node_idx").alias("d2")),
+            "ent2",
+            "left",
+        )
+        .select("ent1", "ent2", "n1", "n2", "f1", "f2", "d1", "d2")
+    )
+    bc = emb_bc.bc
+    p_dict = params.to_dict()
+    T, P, L = max_types, params.max_paths, params.max_pathlen
+
+    def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat = bc.value["matrix"]
+        p = KernelParams.from_dict(p_dict)
+        for pdf in batches:
+            B = len(pdf)
+            if B == 0:
+                continue
+            miss = pdf["f1"].isna().to_numpy() | pdf["f2"].isna().to_numpy()
+            scores = np.zeros(B, dtype=np.float64)
+            if (~miss).any():
+                sub = pdf[~miss]
+                f1 = np.vstack(sub["f1"].to_numpy()).reshape(-1, T, P, L)
+                f2 = np.vstack(sub["f2"].to_numpy()).reshape(-1, T, P, L)
+                nodes_arr = np.stack(
+                    [sub["n1"].to_numpy().astype(np.int64),
+                     sub["n2"].to_numpy().astype(np.int64)], axis=1
+                )
+                feats = np.stack([f1, f2], axis=1)
+                scores[~miss] = kernel_np.score_concept_pairs(
+                    nodes_arr, feats, mat, p
+                )
+            if miss.any():
+                sub = pdf[miss]
+                v1 = mat[sub["d1"].fillna(0).to_numpy().astype(np.int64)]
+                v2 = mat[sub["d2"].fillna(0).to_numpy().astype(np.int64)]
+                scores[miss] = kernel_np.direct_cosine(v1, v2)
+            yield pd.DataFrame(
+                {"ent1": pdf["ent1"], "ent2": pdf["ent2"], "score": scores}
+            )
+
+    return j.mapInPandas(score_fn, "ent1 string, ent2 string, score double")
+
+
+def encode_prop_contexts(
+    prop_contexts: DataFrame, emb_idx: DataFrame, max_prop_len: int = 16
+) -> DataFrame:
+    """(key, self_idx, dom_idx, rng_idx) with dense array<long> of
+    length max_prop_len per side, JVM-encoded like encode_features."""
+    M = max_prop_len
+    base = prop_contexts.select(
+        F.concat_ws("#", "src", "prop").alias("key"),
+        F.col("prop").alias("prop_local"),
+        F.slice("domains", 1, M).alias("domains"),
+        F.slice("ranges", 1, M).alias("ranges"),
+    )
+
+    def enc_list(col_name: str, out: str) -> DataFrame:
+        ex = base.select(
+            "key", F.posexplode_outer(col_name).alias("pos", "tok")
+        ).select("key", "pos", norm_label_col(F.col("tok")).alias("norm"))
+        jx = ex.join(F.broadcast(emb_idx), "norm", "left").select(
+            "key", "pos", F.coalesce("idx", F.lit(0)).alias("idx")
+        )
+        return (
+            jx.groupBy("key")
+            .agg(
+                F.map_from_entries(
+                    F.array_agg(
+                        F.when(
+                            F.col("pos").isNotNull(),
+                            F.struct(F.col("pos"), F.col("idx")),
+                        )
+                    ).cast("array<struct<pos:int,idx:long>>")
+                ).alias("m")
+            )
+            .select(
+                "key",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(M - 1)),
+                    lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0)),
+                ).alias(out),
+            )
+        )
+    doms = enc_list("domains", "dom_idx")
+    rngs = enc_list("ranges", "rng_idx")
+    selfs = base.select(
+        "key", norm_label_col(F.col("prop_local")).alias("norm")
+    ).join(F.broadcast(emb_idx), "norm", "left").select(
+        "key", F.coalesce("idx", F.lit(0)).alias("self_idx")
+    )
+    return selfs.join(doms, "key").join(rngs, "key")
+
+
+def score_prop_candidates_fast(
+    candidates: DataFrame,
+    enc_props: DataFrame,
+    emb_bc: EmbBroadcast,
+    params: KernelParams,
+    max_prop_len: int = 16,
+) -> DataFrame:
+    M = max_prop_len
+    j = (
+        candidates.join(
+            enc_props.select(
+                F.col("key").alias("ent1"),
+                F.col("self_idx").alias("s1"),
+                F.col("dom_idx").alias("dm1"),
+                F.col("rng_idx").alias("r1"),
+            ),
+            "ent1",
+            "left",
+        )
+        .join(
+            enc_props.select(
+                F.col("key").alias("ent2"),
+                F.col("self_idx").alias("s2"),
+                F.col("dom_idx").alias("dm2"),
+                F.col("rng_idx").alias("r2"),
+            ),
+            "ent2",
+            "left",
+        )
+        .select("ent1", "ent2", "s1", "dm1", "r1", "s2", "dm2", "r2")
+    )
+    bc = emb_bc.bc
+    p_dict = params.to_dict()
+
+    def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat = bc.value["matrix"]
+        p = KernelParams.from_dict(p_dict)
+        for pdf in batches:
+            B = len(pdf)
+            if B == 0:
+                continue
+            feats = np.zeros((B, 2, 3, M), dtype=np.int64)
+            for side, (s, dm, r) in enumerate([("s1", "dm1", "r1"), ("s2", "dm2", "r2")]):
+                feats[:, side, 0, 0] = pdf[s].fillna(0).to_numpy().astype(np.int64)
+                feats[:, side, 1, :] = np.vstack(pdf[dm].to_numpy())
+                feats[:, side, 2, :] = np.vstack(pdf[r].to_numpy())
+            scores = kernel_np.score_property_pairs(feats, mat, p)
+            yield pd.DataFrame(
+                {"ent1": pdf["ent1"], "ent2": pdf["ent2"], "score": scores}
+            )
+
+    return j.mapInPandas(score_fn, "ent1 string, ent2 string, score double")

@@ -196,11 +196,13 @@ def run_pipeline(
     all_cand = None
     anc = None
     if cfg.blocking == "blocked":
-        # top root ancestor as a context blocking key
-        rp = contexts.build_root_paths(triples, max_pathlen=cfg.max_pathlen)
-        anc = rp.select(
-            "src", "entity", F.element_at("path", -1).alias("ancestor")
-        ).dropDuplicates()
+        # top root ancestor as a context blocking key — reuse the root
+        # paths already materialized in the contexts stage (nbr_type 0)
+        anc = (
+            ctx.filter(F.col("nbr_type") == 0)
+            .select("src", "entity", F.element_at("path", -1).alias("ancestor"))
+            .dropDuplicates()
+        )
     for a, b in pairs:
         ca = cand.with_norm(concepts.filter(F.col("src") == a))
         cb = cand.with_norm(concepts.filter(F.col("src") == b))
@@ -232,14 +234,30 @@ def run_pipeline(
         prop_cand = empty_pairs
 
     candidates_df = ledger.stage("candidates", lambda: all_cand)
-    if cfg.score_partitions:
-        candidates_df = candidates_df.repartition(cfg.score_partitions)
+    # AQE coalesces the (byte-wise tiny) candidate table to very few
+    # partitions, which would serialize the CPU-heavy scoring UDF —
+    # explicitly re-spread across the cluster before the kernel
+    n_score = cfg.score_partitions or spark.sparkContext.defaultParallelism * 2
+    candidates_df = candidates_df.repartition(n_score)
+    prop_cand = prop_cand.repartition(max(n_score // 4, 2))
 
-    scores_c = scoring.score_concept_candidates(
-        candidates_df, features, emb_bc, params, cfg.max_types
+    # JVM-side embedify: features/prop contexts become fixed-shape
+    # int64 index arrays before the Arrow boundary (strings never
+    # reach Python — the 100 TB layout; see scoring.py fast path)
+    emb_idx = scoring.emb_index_df(spark, emb_bc)
+    # entity-universe-sized dim tables, referenced twice each in the
+    # scoring joins — materialize once
+    enc_feats = scoring.encode_features(
+        features, emb_idx, cfg.max_types, cfg.max_paths, cfg.max_pathlen
+    ).localCheckpoint(eager=True)
+    enc_props = scoring.encode_prop_contexts(prop_ctx, emb_idx).localCheckpoint(
+        eager=True
+    )
+    scores_c = scoring.score_concept_candidates_fast(
+        candidates_df, enc_feats, emb_bc, params, cfg.max_types
     ).withColumn("is_prop", F.lit(False))
-    scores_p = scoring.score_prop_candidates(
-        prop_cand, prop_ctx, emb_bc, params
+    scores_p = scoring.score_prop_candidates_fast(
+        prop_cand, enc_props, emb_bc, params
     ).withColumn("is_prop", F.lit(True))
     scores = ledger.stage("scores", lambda: scores_c.unionByName(scores_p))
 

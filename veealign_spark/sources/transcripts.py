@@ -62,17 +62,22 @@ def _with_src(df: DataFrame) -> DataFrame:
     return df.withColumn("src", F.substring_index(F.col("conv_id"), "_", 1))
 
 
-def extract_mentions(transcripts: DataFrame) -> DataFrame:
+def extract_mentions(
+    transcripts: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """JVM-side extraction: regexp_extract_all over `text`, explode.
 
     Returns the MENTIONS schema (conv_id, turn_idx, src, subj, pred,
-    obj, span is omitted on this path — the regex engine doesn't expose
-    offsets; span lives on the pandas path).
+    obj; span is omitted on this path — the regex engine doesn't expose
+    offsets; span lives on the pandas path). `keep_cols` carries extra
+    input columns through (e.g. `ts` for streaming event time —
+    streaming can't re-join them on afterwards).
     """
     matches = _with_src(transcripts).select(
         "conv_id",
         "turn_idx",
         "src",
+        *keep_cols,
         F.explode(
             F.regexp_extract_all(F.col("text"), F.lit(MENTION_PATTERN), F.lit(0))
         ).alias("m"),
@@ -82,6 +87,7 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
         "src",
+        *keep_cols,
         toks.getItem(0).alias("subj"),
         toks.getItem(1).alias("pred"),
         toks.getItem(2).alias("obj"),
