@@ -1,0 +1,81 @@
+"""Cluster entrypoint: spark-submit --py-files dist/veealign_spark.zip
+scripts/run_pipeline_submit.py --input <transcripts> --output <dir>
+
+Runs the full KG-construction pipeline over a transcripts table
+(parquet in the sandbox; Iceberg identifier on a real cluster) and
+writes the canonical kg_* tables, alignments, clusters, and the run
+metrics ledger under --output. Resumable: pass the same
+--checkpoint-dir to skip completed stages.
+
+Local smoke (the sandbox proxy for the N / 4N executor runs):
+    python tools/make_pyfiles.py
+    spark-submit --master local[8]  --py-files dist/veealign_spark.zip \
+        scripts/run_pipeline_submit.py --input /tmp/tr --output /tmp/out8
+    spark-submit --master local[32] --py-files dist/veealign_spark.zip \
+        scripts/run_pipeline_submit.py --input /tmp/tr --output /tmp/out32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet path")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--blocking", default="blocked", choices=["blocked", "cross"])
+    ap.add_argument("--threshold", type=float, default=0.90)
+    ap.add_argument("--gold", default=None, help="optional gold parquet for threshold tuning")
+    ap.add_argument("--max-pathlen", type=int, default=4)
+    args = ap.parse_args()
+
+    # under spark-submit the package arrives via --py-files; running
+    # plain `python` falls back to the repo layout
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from veealign_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from veealign_spark.session import get_spark
+    from veealign_spark.sources.transcripts import read_transcripts
+
+    spark = get_spark(
+        "veealign-kg-pipeline",
+        use_existing_master="SPARK_SUBMIT" in os.environ
+        or spark_submitted(),
+    )
+    transcripts = read_transcripts(spark, args.input)
+    gold = spark.read.parquet(args.gold) if args.gold else None
+    cfg = PipelineConfig(
+        blocking=args.blocking,
+        threshold=args.threshold,
+        checkpoint_dir=args.checkpoint_dir,
+        max_pathlen=args.max_pathlen,
+    )
+    t0 = time.time()
+    res = run_pipeline(spark, transcripts, cfg, gold=gold)
+    for name in ("alignments", "clusters", "kg_triples", "kg_entities", "kg_edges"):
+        res[name].write.mode("overwrite").parquet(os.path.join(args.output, name))
+    summary = {
+        "sec": round(time.time() - t0, 2),
+        "threshold": res["threshold"],
+        "stages": res["metrics"],
+    }
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "run_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "stages"}))
+    spark.stop()
+
+
+def spark_submitted() -> bool:
+    return "spark-submit" in os.environ.get("SPARK_APPLICATION_ID", "") or bool(
+        os.environ.get("SPARK_EXECUTOR_CORES")
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Unit tests for the training-data-pipeline operators against
+hand-computed micro-fixtures (beyond the DuckDB contract checks)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from veealign_spark.operators import ann, dedup, multimodal, sessions, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e", "en", "s", 9),
+        (2, "a b c d e", "en", "s", 9),          # exact dup of 1
+        (3, "a b c d x", "en", "s", 9),          # near dup of 1
+        (4, "z y w v u", "en", "s", 9),          # unrelated
+        (5, "a b", "en", "s", 3),                # too short for 3-grams
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_duplicates(spark, docs):
+    got = {r["keeper_id"]: r["group_size"] for r in dedup.exact_duplicates(docs).collect()}
+    assert got[1] == 2          # docs 1+2 collapse
+    assert got[3] == 1 and got[4] == 1 and got[5] == 1
+
+
+def test_shingles_short_text(spark, docs):
+    sh = dedup.doc_shingles(docs, 3).filter(F.col("doc_id") == 5)
+    assert sh.count() == 0      # len < n -> empty, not descending-sequence garbage
+
+
+def test_jaccard_pairs(spark, docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, 3, 0.1, max_shingle_freq=0).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    # docs 1 and 3 share shingle {a b c} and {b c d}? 1: [abc,bcd,cde]; 3: [abc,bcd,cdx]
+    # inter=2, union=4 -> 0.5
+    assert got[(1, 3)] == 0.5
+    assert (1, 4) not in got
+
+
+def test_minhash_identical_docs_agree_all_bands(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_bands_agree"]
+        for r in dedup.minhash_lsh_pairs(docs, n_bands=8).collect()
+    }
+    assert pairs[(1, 2)] == 8   # identical shingle sets -> all bands agree
+    assert pairs.get((1, 4)) is None
+
+
+def test_simhash_close_for_neardups(spark, docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert fp[1] == fp[2]
+    assert hamming(fp[1], fp[3]) <= hamming(fp[1], fp[4])
+
+
+def test_ann_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = ann.cosine_topk(df.filter(F.col("vec_id") < 3), df, k=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    v = vecs.astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = v @ v.T
+    for q in range(3):
+        order = [
+            int(i) for i in np.lexsort((np.arange(20), -np.round(sims[q], 6)))
+            if i != q
+        ][:3]
+        want = [(rk + 1, n) for rk, n in enumerate(order)]
+        assert sorted(by_q[q]) == want, (q, by_q[q], want)
+
+
+def test_lsh_buckets_group_identical(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0, 1.0], 0), (2, [1.0, 0.0, 2.0, 1.0], 0), (3, [-1.0, 5.0, -2.0, 0.5], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    b = {r["id"]: r["bucket"] for r in ann.lsh_hyperplane_buckets(df, dim=4).collect()}
+    assert b[1] == b[2]
+
+
+def test_quality_and_tokens(spark, docs):
+    ts = {r["doc_id"]: r for r in textstats.token_stats(docs).collect()}
+    assert ts[1]["n_tokens"] == 5 and ts[1]["n_distinct_tokens"] == 5
+    q = {r["doc_id"]: r for r in textstats.quality_scores(docs).collect()}
+    assert q[1]["stopword_ratio"] == pytest.approx(1 / 5)  # 'a'
+    assert q[1]["type_token_ratio"] == 1.0
+
+
+def test_langid_votes(spark):
+    df = spark.createDataFrame(
+        [(1, "the a value value x", "x", "s", 1), (2, "spark stream batch qq", "x", "s", 1), (3, "qq ww", "x", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in textstats.language_id(df).collect()}
+    assert got == {1: "en", 2: "dataeng", 3: "unk"}
+
+
+def test_sessionize_gap(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 10, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=90), 10, "view", 1.0, "{}"),  # new session
+        (4, t0, 20, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["user_id"]: r for r in sessions.session_stats(df, 30).collect()}
+    assert got[10]["n_sessions"] == 2 and got[10]["max_session_events"] == 2
+    assert got[20]["n_sessions"] == 1
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.attach_media(docs)
+    feats = multimodal.extract_features(media, dim=8, deterministic_fake=True)
+    rows = feats.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+    # deterministic: same payload -> same feature
+    by_id = {r["media_id"]: list(r["feature"]) for r in rows}
+    assert by_id[1] == by_id[2]  # identical text -> identical payload
+    # the real-decode path is explicitly stubbed
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_batch(pd.Series([b"x"]), 8, deterministic_fake=False)
+
+
+def test_tuned_threshold_beats_pinned(spark):
+    """A9 wiring: on a fixture seed where the pinned 0.90 threshold
+    admits false positives, gold-tuned acceptance reaches F1 >= the
+    pinned F1."""
+    from veealign_spark import datagen, schemas
+    from veealign_spark.operators import metrics as m
+    from veealign_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    pair = datagen.make_ontology_pair(seed=123)
+    tr, _ = datagen.make_transcripts(pair["triples"], seed=123)
+    sdf = spark.createDataFrame(tr, schema=schemas.TRANSCRIPTS)
+    gold = spark.createDataFrame(pair["gold"])
+    pinned = run_pipeline(spark, sdf, PipelineConfig())
+    tuned = run_pipeline(spark, sdf, PipelineConfig(), gold=gold)
+    f1_pinned = m.pr_metrics(pinned["accepted"], gold).collect()[0]["f1"]
+    f1_tuned = m.pr_metrics(tuned["accepted"], gold).collect()[0]["f1"]
+    assert f1_tuned >= f1_pinned
+    assert f1_tuned >= 0.97

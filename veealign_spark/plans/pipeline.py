@@ -149,8 +149,15 @@ def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
     config: PipelineConfig | None = None,
+    gold: DataFrame | None = None,
 ) -> dict:
-    """Full pipeline. Returns dict of result DataFrames + metrics."""
+    """Full pipeline. Returns dict of result DataFrames + metrics.
+
+    If `gold` is given, the acceptance threshold is tuned on it by the
+    single-pass P/R-curve sweep (A9, argmax F1 — the reference's
+    validation-tuned threshold, train.py:608-611) instead of the
+    config-pinned value; the tuned value is returned in the result.
+    """
     cfg = config or PipelineConfig()
     ledger = StageLedger(spark, cfg.checkpoint_dir)
     params = cfg.kernel_params()
@@ -261,10 +268,15 @@ def run_pipeline(
     ).withColumn("is_prop", F.lit(True))
     scores = ledger.stage("scores", lambda: scores_c.unionByName(scores_p))
 
+    threshold = params.threshold
+    if gold is not None:
+        from veealign_spark.operators import metrics as metrics_ops
+
+        threshold, _f1 = metrics_ops.best_threshold(scores, gold)
     alignments = ledger.stage(
         "alignments",
         lambda: scores.withColumn(
-            "accepted", F.col("score") >= F.lit(params.threshold)
+            "accepted", F.col("score") >= F.lit(threshold)
         ),
     )
     accepted = alignments.filter(F.col("accepted"))
@@ -288,5 +300,6 @@ def run_pipeline(
         "clusters": clusters,
         "metrics": ledger.metrics,
         "params": params,
+        "threshold": threshold,
         **kg,
     }

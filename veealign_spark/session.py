@@ -18,6 +18,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    use_existing_master: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -25,15 +26,20 @@ def get_spark(
     shuffle_partitions defaults to the core count — at cluster scale
     this would instead be ~2-3x total executor cores, or left to AQE
     coalescing from a higher initial value.
+
+    use_existing_master=True leaves the master to spark-submit (the
+    cluster entrypoint path) instead of forcing local[N].
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
 
+    builder = SparkSession.builder
+    if not use_existing_master:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
