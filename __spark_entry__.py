@@ -354,9 +354,87 @@ def q_kg_blocked_candidates(spark, sf_dir):
     return cand.blocked_candidates(c1, c2)
 
 
+def q_p1_iri_normalize(spark, sf_dir):
+    """P1/P2: IRI normalization — coalesce alt id forms, take the
+    fragment after '#', strip prefixes (ontology.py:219-228 semantics
+    on testdata strings)."""
+    part = _t(spark, sf_dir, "part")
+    iri = F.concat(F.lit("http://ex.org/ont#UNDEFINED_"), F.regexp_replace("p_name", " ", "_"))
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.regexp_replace(
+            F.substring_index(iri, "#", -1), "^(UNDEFINED_|DO_)", ""
+        ).alias("local_id"),
+    )
+
+
+def q_j4_domain_range_product(spark, sf_dir):
+    """J4: per-property domain x range lateral product (two explodes,
+    union_flag=0) plus the union_flag=1 '###'-joined variant
+    (ontology.py:121-125)."""
+    orders = _t(spark, sf_dir, "orders")
+    grouped = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("domains"),
+        F.array_sort(F.collect_set("o_orderpriority")).alias("ranges"),
+    )
+    product = grouped.select(
+        "custkey",
+        F.explode("domains").alias("domain"),
+    ).join(
+        grouped.select("custkey", F.explode("ranges").alias("range")), "custkey"
+    )
+    joined = grouped.select(
+        "custkey", F.array_join("domains", "###").alias("domain"),
+        F.array_join("ranges", "###").alias("range"),
+    )
+    return product.unionByName(joined)
+
+
+def q_t3_oversample(spark, sf_dir):
+    """T3: deterministic positive oversampling to ~1:1 — each positive
+    repeated ceil(n_false/n_true) times (train.py:543-552 without the
+    nondeterministic shuffle/limit)."""
+    orders = _t(spark, sf_dir, "orders")
+    labeled = orders.select(
+        "o_orderkey", (F.col("o_orderstatus") == "P").alias("y")
+    )
+    counts = labeled.groupBy().agg(
+        F.sum(F.col("y").cast("long")).alias("nt"),
+        F.sum((~F.col("y")).cast("long")).alias("nf"),
+    )
+    reps = counts.select(F.ceil(F.col("nf") / F.col("nt")).cast("int").alias("k"))
+    pos = labeled.filter("y").crossJoin(F.broadcast(reps)).select(
+        "o_orderkey", F.explode(F.sequence(F.lit(1), F.col("k"))).alias("rep")
+    )
+    neg = labeled.filter(~F.col("y")).select("o_orderkey", F.lit(1).alias("rep"))
+    return pos.unionByName(neg).groupBy().agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("o_orderkey").alias("n_distinct"),
+    )
+
+
+def q_a10_lang_mode(spark, sf_dir):
+    """A10: majority vote (mode) per group — dominant lang per source
+    (ontology.py:58-62 semantics), ties broken lexicographically."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("mode_lang"), "n")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_group_neighbours": q_a1_group_neighbours,
+        "p1_iri_normalize": q_p1_iri_normalize,
+        "j4_domain_range_product": q_j4_domain_range_product,
+        "t3_oversample": q_t3_oversample,
+        "a10_lang_mode": q_a10_lang_mode,
         "a7_dedup": q_a7_dedup,
         "a8_pr_metrics": q_a8_pr_metrics,
         "a9_pr_curve": q_a9_pr_curve,
@@ -411,6 +489,45 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey
         """,
         "a7_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "p1_iri_normalize": """
+            SELECT p_partkey AS partkey,
+                   regexp_replace(
+                     split_part('http://ex.org/ont#UNDEFINED_' || replace(p_name, ' ', '_'), '#', 2),
+                     '^(UNDEFINED_|DO_)', '') AS local_id
+            FROM part
+        """,
+        "j4_domain_range_product": """
+            WITH g AS (
+              SELECT o_custkey AS custkey,
+                     list_sort(list_distinct(list(o_orderstatus))) AS domains,
+                     list_sort(list_distinct(list(o_orderpriority))) AS ranges
+              FROM orders GROUP BY o_custkey)
+            SELECT custkey, d AS domain, r AS range
+            FROM g, unnest(domains) AS t1(d), unnest(ranges) AS t2(r)
+            UNION ALL
+            SELECT custkey, array_to_string(domains, '###'),
+                   array_to_string(ranges, '###')
+            FROM g
+        """,
+        "t3_oversample": """
+            WITH l AS (SELECT o_orderkey, o_orderstatus = 'P' AS y FROM orders),
+            c AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS nt,
+                         sum(CASE WHEN y THEN 0 ELSE 1 END) AS nf FROM l),
+            pos AS (SELECT o_orderkey
+                    FROM l, c, unnest(generate_series(1, CAST(ceil(nf::DOUBLE / nt) AS BIGINT)))
+                    WHERE y),
+            neg AS (SELECT o_orderkey FROM l WHERE NOT y),
+            allr AS (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+            SELECT count(*) AS n_total, count(DISTINCT o_orderkey) AS n_distinct FROM allr
+        """,
+        "a10_lang_mode": """
+            SELECT source, lang AS mode_lang, n
+            FROM (SELECT source, lang, count(*) AS n,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY count(*) DESC, lang ASC) AS rn
+                  FROM documents GROUP BY source, lang)
+            WHERE rn = 1
+        """,
         "a8_pr_metrics": """
             WITH p AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),
                  g AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
