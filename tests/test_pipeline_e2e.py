@@ -94,3 +94,32 @@ def test_blocked_candidates_cover_accepted(spark, transcripts_sdf, pipeline_resu
         (r["ent1"], r["ent2"]) for r in res_blocked["accepted"].collect()
     }
     assert acc_cross == acc_blocked
+
+
+def test_derive_max_types(spark, fixture_pair):
+    """A5 auto-derivation: with datatype props removed, max_types=3 and
+    the pipeline still matches the oracle run at max_types=3."""
+    import numpy as np
+
+    from veealign_spark import datagen, schemas
+    from veealign_spark.operators import oracle_np
+
+    triples = fixture_pair["triples"]
+    no_dt = triples[triples["kind"] != "Datatype Property"].reset_index(drop=True)
+    tr, _ = datagen.make_transcripts(no_dt, seed=7)
+    sdf = spark.createDataFrame(tr, schema=schemas.TRANSCRIPTS)
+    cfg = PipelineConfig(derive_types=True)
+    res = run_pipeline(spark, sdf, cfg)
+    assert cfg.max_types == 3
+    got = (
+        res["scores"].toPandas().sort_values(["ent1", "ent2"]).reset_index(drop=True)
+    )
+    want = (
+        oracle_np.align(no_dt, cfg.kernel_params(), max_types=3)
+        .sort_values(["ent1", "ent2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9
+    )

@@ -1,0 +1,76 @@
+"""S6/S2 OAEI round-trip, S3 cache merge, and the salted-blocking
+skew test (SURVEY.md §5.2.7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from veealign_spark.operators import candidates as cand
+from veealign_spark.operators import scoring
+from veealign_spark.sources import oaei
+
+
+def test_oaei_roundtrip(spark, tmp_path):
+    rows = [("src1#A", "src2#a", 0.987, True), ("src1#B", "src2#b", 1.0, True)]
+    df = spark.createDataFrame(rows, "ent1 string, ent2 string, score double, accepted boolean")
+    path = str(tmp_path / "align.rdf")
+    n = oaei.write_alignment_rdf(df, path, "o1", "o2")
+    assert n == 2
+    back = oaei.load_alignment_rdf(spark, path)
+    got = {(r["ent1"], r["ent2"], r["relation"]) for r in back.collect()}
+    assert got == {("src1#A", "src2#a", "="), ("src1#B", "src2#b", "=")}
+    assert {r["measure"] for r in back.collect()} == {0.987, 1.0}
+
+
+def test_embedding_cache_merge(spark):
+    t1 = spark.createDataFrame([("ConferenceMember",), ("PaperDraft",)], "term string")
+    e1 = scoring.refresh_embeddings(None, t1, dim=8)
+    first = {r["key"]: list(r["vec"]) for r in e1.collect()}
+    assert set(first) == {"conference member", "paper draft"}
+
+    t2 = spark.createDataFrame(
+        [("conference_member",), ("NewThing",)], "term string"
+    )
+    e2 = scoring.refresh_embeddings(e1, t2, dim=8)
+    merged = {r["key"]: list(r["vec"]) for r in e2.collect()}
+    # cached vector reused bit-for-bit, only the new term embedded
+    assert set(merged) == {"conference member", "paper draft", "new thing"}
+    assert merged["conference member"] == first["conference member"]
+    # idx dense + unique
+    idxs = sorted(r["idx"] for r in e2.collect())
+    assert idxs == [1, 2, 3]
+
+
+def test_salted_blocking_spreads_hot_key(spark):
+    """A Zipf-hot blocking key must be split across n_salt buckets on
+    the hot side and replicated on the other, with no pair loss."""
+    hot = [("src1", f"HotTerm_{i}", None) for i in range(200)]
+    cold = [("src1", f"Cold{i}_x", None) for i in range(10)]
+    right = [("src2", f"hot_term_{i}", None) for i in range(50)]
+    c1 = spark.createDataFrame(hot + cold, "src string, id string, label string")
+    c2 = spark.createDataFrame(right, "src string, id string, label string")
+    n1, n2 = cand.with_norm(c1), cand.with_norm(c2)
+
+    blocked = cand.blocked_candidates(n1, n2, hot_key_threshold=50, n_salt=8)
+    unsalted = cand.blocked_candidates(n1, n2, hot_key_threshold=10**9)
+    assert {tuple(r) for r in blocked.collect()} == {
+        tuple(r) for r in unsalted.collect()
+    }
+
+    # the hot key ('hot' token, freq 200 > 50) really is salted:
+    # inspect the salt distribution of the internal key table
+    from veealign_spark.operators.candidates import _blocking_keys
+
+    k1 = _blocking_keys(n1, None)
+    freq = k1.groupBy("block_key").count().filter(F.col("count") > 50)
+    hot_keys = {r["block_key"] for r in freq.collect()}
+    assert "hot" in hot_keys
+    salted = (
+        k1.join(F.broadcast(freq.select("block_key")), "block_key")
+        .withColumn("salt", F.pmod(F.xxhash64("key"), F.lit(8)))
+        .groupBy("block_key", "salt")
+        .count()
+    )
+    n_buckets = salted.filter(F.col("block_key") == "hot").count()
+    assert n_buckets == 8  # hot key spread across all salt buckets

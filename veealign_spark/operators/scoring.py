@@ -545,3 +545,29 @@ def score_prop_candidates_fast(
             )
 
     return j.mapInPandas(score_fn, "ent1 string, ent2 string, score double")
+
+
+def refresh_embeddings(
+    existing: DataFrame | None, new_terms: DataFrame, dim: int
+) -> DataFrame:
+    """S3 embedding-cache merge: embed only terms absent from the
+    existing dim table (the reference's pickle-cache merge loop,
+    train.py:72-87, as an anti-join + union). `new_terms` has a
+    single `term` column (raw); existing follows EMBEDDINGS schema
+    minus idx (key, vec)."""
+    norm_terms = (
+        new_terms.select(norm_label_col(F.col("term")).alias("key"))
+        .filter(F.col("key") != "")
+        .distinct()
+    )
+    embed = embed_udf_factory(dim)
+    if existing is None:
+        fresh = norm_terms
+        base = None
+    else:
+        base = existing.select("key", "vec")
+        fresh = norm_terms.join(base.select("key"), "key", "left_anti")
+    fresh_emb = fresh.withColumn("vec", embed(F.col("key")))
+    merged = fresh_emb if base is None else base.unionByName(fresh_emb)
+    w = Window.orderBy("key")
+    return merged.withColumn("idx", F.row_number().over(w).cast("long"))

@@ -35,6 +35,7 @@ class PipelineConfig:
     max_paths: int = 2
     max_pathlen: int = 4
     max_types: int = 4
+    derive_types: bool = False  # A5: derive max_types from the data
     bag_of_neighbours: bool = False
     weighted_sum: bool = True
     emb_dim: int = 32
@@ -180,6 +181,12 @@ def run_pipeline(
             max_pathlen=cfg.max_pathlen,
         ),
     )
+    if cfg.derive_types:
+        # A5 (data_preprocessing.py:318): global max # of non-empty
+        # neighbour types; the kernel's type-mixing weights resize to
+        # match (K7 branch, train.py:256-264)
+        cfg.max_types = max(contexts.derive_max_types(ctx), 1)
+        params = cfg.kernel_params()
     features = ledger.stage(
         "features",
         lambda: contexts.assemble_features(
