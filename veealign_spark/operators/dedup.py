@@ -52,10 +52,19 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def doc_shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
-    sh = documents.select(
-        "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
+    """(doc_id, shingle) rows. Per-doc dedup happens inside the array
+    expression (array_distinct) BEFORE the explode — a row-local pass,
+    not a corpus-sized dropDuplicates shuffle."""
+    grams = shingles_col(F.col("text"), n)
+    if distinct:
+        grams = F.array_distinct(grams)
+    # compressed doc tables often arrive as one tiny file = one
+    # partition; shingling is expression-CPU-heavy per row, so spread
+    # it (a 5k-row shuffle buys 32-way tokenize/md5 parallelism)
+    docs = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
-    return sh.dropDuplicates(["doc_id", "shingle"]) if distinct else sh
+    return docs.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def minhash_signatures(
@@ -101,9 +110,13 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     """Per-doc SimHash: bit j votes +1/-1 per distinct token by parity
     of hex char j of md5(token); fingerprint = sum of set bits << j."""
-    toks = documents.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
-    ).dropDuplicates(["doc_id", "tok"])
+    docs = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
+    )
     bits = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),

@@ -25,9 +25,9 @@ def token_stats(documents: DataFrame) -> DataFrame:
     toks = tokens_col(F.col("text"))
     return documents.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.length("text").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
@@ -59,7 +59,7 @@ def language_id(documents: DataFrame) -> DataFrame:
     for lang in langs:
         markers = LANG_MARKERS[lang]
         df = df.withColumn(
-            f"v_{lang}", F.size(F.filter(F.col("toks"), lambda w: w.isin(*markers)))
+            f"v_{lang}", F.size(F.filter(F.col("toks"), lambda w: w.isin(*markers))).cast("long")
         )
     best = F.greatest(*[F.col(f"v_{lang}") for lang in langs])
     pred = F.lit("unk")
@@ -76,8 +76,11 @@ def fingerprints(documents: DataFrame, shingle_n: int = 5) -> DataFrame:
     """Document fingerprint: min md5 over word n-grams (winnowing-style
     single fingerprint) + shingle cardinality."""
     sh = shingles_col(F.col("text"), shingle_n)
+    documents = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     return documents.select(
         "doc_id",
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
-        F.size(F.array_distinct(sh)).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_shingles"),
     )
