@@ -428,6 +428,19 @@ def q_a10_lang_mode(spark, sf_dir):
     )
 
 
+def q_one_to_one(spark, sf_dir):
+    """Symmetric-best one-to-one resolution over a bipartite score
+    table (user x event_type, score = max event value)."""
+    from veealign_spark.operators.canonicalize import one_to_one_filter
+
+    events = _t(spark, sf_dir, "events")
+    scores = events.groupBy(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("ent1"),
+        F.col("event_type").alias("ent2"),
+    ).agg(F.round(F.max("value"), 6).alias("score"))
+    return one_to_one_filter(scores)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_group_neighbours": q_a1_group_neighbours,
@@ -446,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_initials": q_f3_initials,
         "g1_root_paths": q_g1_root_paths,
         "g3_connected_components": q_g3_connected_components,
+        "one_to_one_resolution": q_one_to_one,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -489,6 +503,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey
         """,
         "a7_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "one_to_one_resolution": """
+            WITH s AS (
+              SELECT 'u' || user_id::VARCHAR AS ent1, event_type AS ent2,
+                     round(max(value), 6) AS score
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY ent1 ORDER BY score DESC, ent2 ASC) AS r1,
+                     row_number() OVER (PARTITION BY ent2 ORDER BY score DESC, ent1 ASC) AS r2
+              FROM s)
+            SELECT ent1, ent2, score FROM r WHERE r1 = 1 AND r2 = 1
+        """,
         "p1_iri_normalize": """
             SELECT p_partkey AS partkey,
                    regexp_replace(

@@ -1,0 +1,65 @@
+"""Multifarm-style cross-lingual golden test: matched concepts share
+no surface tokens; alignment goes through the multilingual-embedding
+stand-in. P/R >= 0.95 (the conference/multifarm quality bar)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from veealign_spark import datagen, schemas
+from veealign_spark.functions.embeddings import TRANSLATIONS
+from veealign_spark.functions.text_norm import normalize_term
+from veealign_spark.operators import candidates as cand
+from veealign_spark.operators import metrics
+from veealign_spark.plans.pipeline import PipelineConfig, run_pipeline, concepts_from_triples
+from veealign_spark.sources.transcripts import extract_mentions, mentions_to_triples
+
+
+@pytest.fixture(scope="module")
+def ml_pair():
+    return datagen.make_multilingual_pair(seed=42)
+
+
+def test_names_share_no_tokens(ml_pair):
+    gold = ml_pair["gold"]
+    crossings = 0
+    for e1, e2 in zip(gold.ent1, gold.ent2):
+        t1 = set(normalize_term(e1.split("#", 1)[1]).split())
+        t2 = set(normalize_term(e2.split("#", 1)[1]).split())
+        if t1 & t2:
+            crossings += 1
+    # most matched names are fully translated (untranslated tokens are
+    # the synthetic 'termNNN' spillover only)
+    assert crossings < len(gold) * 0.5
+
+
+def test_multilingual_pr(spark, ml_pair):
+    tr, _ = datagen.make_transcripts(ml_pair["triples"], seed=42)
+    sdf = spark.createDataFrame(tr, schema=schemas.TRANSCRIPTS)
+    gold = spark.createDataFrame(ml_pair["gold"])
+    res = run_pipeline(spark, sdf, PipelineConfig(blocking="cross"))
+    m = metrics.pr_metrics(res["accepted"], gold).collect()[0]
+    assert m["precision"] >= 0.95, m
+    assert m["recall"] >= 0.95, m
+
+
+def test_lexicon_blocking_covers_matches(spark, ml_pair):
+    tr, _ = datagen.make_transcripts(ml_pair["triples"], seed=42)
+    sdf = spark.createDataFrame(tr, schema=schemas.TRANSCRIPTS)
+    triples = mentions_to_triples(extract_mentions(sdf))
+    concepts = concepts_from_triples(triples)
+    lex = spark.createDataFrame(
+        list(TRANSLATIONS.items()), "token string, canonical string"
+    )
+    c1 = cand.with_norm(concepts.filter(F.col("src") == "src1"))
+    c2 = cand.with_norm(concepts.filter(F.col("src") == "src2"))
+    blocked = cand.blocked_candidates(c1, c2, lexicon=lex)
+    pairs = {(r["ent1"], r["ent2"]) for r in blocked.collect()}
+    gold = ml_pair["gold"]
+    concept_gold = [
+        (a, b) for a, b in zip(gold.ent1, gold.ent2)
+        if not a.split("#")[1].startswith(("rel_", "attr_"))
+    ]
+    covered = sum((a, b) in pairs for a, b in concept_gold)
+    assert covered / len(concept_gold) >= 0.95

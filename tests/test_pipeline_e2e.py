@@ -123,3 +123,31 @@ def test_derive_max_types(spark, fixture_pair):
     np.testing.assert_allclose(
         got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9
     )
+
+
+@pytest.mark.parametrize(
+    "bag,weighted", [(True, True), (False, False), (True, False)]
+)
+def test_flag_combos_match_oracle(spark, transcripts_sdf, fixture_pair, bag, weighted):
+    """config.ini:38-40 flag combinations (bag_of_neighbours x
+    weighted_sum) — pipeline == oracle on each (FIXTURES.md §7)."""
+    import numpy as np
+
+    from veealign_spark.operators import oracle_np
+
+    cfg = PipelineConfig(bag_of_neighbours=bag, weighted_sum=weighted)
+    res = run_pipeline(spark, transcripts_sdf, cfg)
+    got = (
+        res["scores"].toPandas().sort_values(["ent1", "ent2"]).reset_index(drop=True)
+    )
+    want = (
+        oracle_np.align(
+            fixture_pair["triples"], cfg.kernel_params(), bag_of_neighbours=bag
+        )
+        .sort_values(["ent1", "ent2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9
+    )

@@ -74,3 +74,17 @@ def test_salted_blocking_spreads_hot_key(spark):
     )
     n_buckets = salted.filter(F.col("block_key") == "hot").count()
     assert n_buckets == 8  # hot key spread across all salt buckets
+
+
+def test_one_to_one_filter(spark):
+    from veealign_spark.operators.canonicalize import one_to_one_filter
+
+    rows = [
+        ("a1", "b1", 0.99), ("a1", "b2", 0.95),   # a1 best = b1
+        ("a2", "b1", 0.97),                        # b1 best = a1, so a2-b1 dropped
+        ("a2", "b2", 0.90),                        # mutual best for a2/b2? b2 best is a1 (0.95) -> dropped
+        ("a3", "b3", 0.92),
+    ]
+    df = spark.createDataFrame(rows, "ent1 string, ent2 string, score double")
+    got = {(r["ent1"], r["ent2"]) for r in one_to_one_filter(df).collect()}
+    assert got == {("a1", "b1"), ("a3", "b3")}

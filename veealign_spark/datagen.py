@@ -279,3 +279,30 @@ def make_transcripts_df(spark, triples_pdf: pd.DataFrame, copies: int, seed: int
         .withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("copy")))
         .drop("copy")
     )
+
+
+def make_multilingual_pair(seed: int = 42, **kwargs) -> dict[str, pd.DataFrame]:
+    """Multifarm-style cross-lingual variant: src2's names are token-
+    wise translated through the embedding stub's lexicon (so matched
+    concepts no longer share surface tokens — alignment must go
+    through the multilingual embedding space, exactly the multifarm
+    track's difficulty; the reference handles it with multilingual USE
+    + skipped normalization, Quirk Q1)."""
+    from veealign_spark.functions.embeddings import TRANSLATIONS
+
+    inv = {v: k for k, v in TRANSLATIONS.items()}
+
+    def translate(name: str) -> str:
+        return "_".join(inv.get(t, t) for t in name.split("_"))
+
+    pair = make_ontology_pair(seed=seed, **kwargs)
+    concepts, triples, gold = pair["concepts"], pair["triples"], pair["gold"]
+    c2 = concepts["src"] == "src2"
+    concepts.loc[c2, "id"] = concepts.loc[c2, "id"].map(translate)
+    t2 = triples["src"] == "src2"
+    for col in ("subj", "obj", "pred"):
+        triples.loc[t2, col] = triples.loc[t2, col].map(translate)
+    gold["ent2"] = gold["ent2"].map(
+        lambda k: "src2#" + translate(k.split("#", 1)[1])
+    )
+    return {"concepts": concepts, "triples": triples, "gold": gold}

@@ -29,8 +29,35 @@ import pandas as pd
 DEFAULT_DIM = 32
 UNK = "<UNK>"
 
+# Cross-lingual stand-in (the reference's multifarm track uses the
+# *multilingual* USE model, which embeds translations near each other
+# — data_preprocessing.py:25-29): a deterministic token lexicon mapped
+# to canonical forms before hashing, so translated names share
+# vectors. English tokens are absent from the keys and embed as-is.
+TRANSLATIONS: dict[str, str] = {
+    "konferenz": "conference", "mitglied": "member", "beitrag": "paper",
+    "autor": "author", "gutachten": "review", "vorsitz": "chair",
+    "sitzung": "session", "schiene": "track", "programm": "program",
+    "ausschuss": "committee", "werkstatt": "workshop", "anleitung": "tutorial",
+    "grundsatz": "keynote", "sprecher": "speaker", "thema": "topic",
+    "entscheidung": "decision", "kamera": "camera", "fertig": "ready",
+    "einreichung": "submission", "entwurf": "draft",
+    "anmeldung": "registration", "gebuehr": "fee", "ort": "venue",
+    "raum": "room", "zeitplan": "schedule", "platz": "slot", "meta2": "meta",
+    "extern": "external", "student2": "student", "helfer": "volunteer",
+    "sponsor2": "sponsor", "stand": "booth", "vorfuehrung": "demo",
+    "plakat": "poster", "podium": "panel", "eingeladen": "invited",
+    "vortrag": "talk", "kurzfassung": "abstract", "frist": "deadline",
+    "benachrichtigung": "notification",
+}
+
+
+def canonical_token(token: str) -> str:
+    return TRANSLATIONS.get(token, token)
+
 
 def _token_vec(token: str, dim: int) -> np.ndarray:
+    token = canonical_token(token)
     seed = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.standard_normal(dim)

@@ -52,10 +52,27 @@ def cross_candidates(c1: DataFrame, c2: DataFrame) -> DataFrame:
     )
 
 
-def _blocking_keys(concepts: DataFrame, top_ancestor: DataFrame | None) -> DataFrame:
+def _blocking_keys(
+    concepts: DataFrame,
+    top_ancestor: DataFrame | None,
+    lexicon: DataFrame | None = None,
+) -> DataFrame:
     toks = with_norm(concepts).select(
         "key", F.explode(F.split("norm", " ")).alias("block_key")
     )
+    if lexicon is not None:
+        # cross-lingual blocking: map tokens to canonical forms via a
+        # broadcast lexicon (multifarm-style sources share no surface
+        # tokens; the canonicalized token is the block key)
+        toks = (
+            toks.join(
+                F.broadcast(lexicon.select(F.col("token").alias("block_key"),
+                                           F.col("canonical"))),
+                "block_key",
+                "left",
+            )
+            .select("key", F.coalesce("canonical", "block_key").alias("block_key"))
+        )
     if top_ancestor is not None:
         anc = top_ancestor.select(
             F.concat_ws("#", "src", "entity").alias("key"),
@@ -72,10 +89,11 @@ def blocked_candidates(
     anc2: DataFrame | None = None,
     hot_key_threshold: int = 1000,
     n_salt: int = 16,
+    lexicon: DataFrame | None = None,
 ) -> DataFrame:
     """J1' blocked candidate join with explicit hot-key salting."""
-    k1 = _blocking_keys(c1, anc1)
-    k2 = _blocking_keys(c2, anc2)
+    k1 = _blocking_keys(c1, anc1, lexicon)
+    k2 = _blocking_keys(c2, anc2, lexicon)
 
     # hot-key census on the (assumed larger) side 1; at cluster scale
     # this is a cheap pre-aggregation compared to the join it protects

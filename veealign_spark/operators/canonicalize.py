@@ -146,3 +146,34 @@ def materialize_kg(
         F.col("subj").alias("child"), F.col("obj").alias("parent")
     )
     return {"kg_triples": canon, "kg_entities": kg_entities, "kg_edges": kg_edges}
+
+
+def one_to_one_filter(scores: DataFrame, threshold: float | None = None) -> DataFrame:
+    """Symmetric-best one-to-one alignment resolution.
+
+    The reference relies on the tuned threshold for one-to-one-ness
+    (it emits every pair >= threshold, test.py:368); the north_star
+    names greedy 1:1 resolution as the canonicalization intent. Exact
+    greedy matching is inherently sequential; the standard distributed
+    one-pass approximation keeps a pair iff it is the argmax for BOTH
+    of its endpoints (symmetric best match) — every kept pair would
+    also be kept by greedy, so precision only improves. Ties break by
+    the partner id for determinism.
+    """
+    from pyspark.sql import Window
+
+    s = scores
+    if threshold is not None:
+        s = s.filter(F.col("score") >= threshold)
+    w1 = Window.partitionBy("ent1").orderBy(
+        F.col("score").desc(), F.col("ent2").asc()
+    )
+    w2 = Window.partitionBy("ent2").orderBy(
+        F.col("score").desc(), F.col("ent1").asc()
+    )
+    return (
+        s.withColumn("r1", F.row_number().over(w1))
+        .withColumn("r2", F.row_number().over(w2))
+        .filter((F.col("r1") == 1) & (F.col("r2") == 1))
+        .drop("r1", "r2")
+    )
