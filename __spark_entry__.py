@@ -31,6 +31,18 @@ from veealign_spark.operators import canonicalize, contexts
 from veealign_spark.plans.pipeline import PipelineConfig, run_pipeline
 
 
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The driver may create its own SparkSession; UDF-bearing queries
+    need the package on the executors regardless of cwd."""
+    try:
+        from veealign_spark.session import _ship_package
+
+        _ship_package(spark)
+    except Exception:
+        pass
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -80,6 +92,7 @@ def _testdata_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_shipped(spark)
     tr = _testdata_transcripts(spark, "/root/testdata/sf0.001")
     res = run_pipeline(spark, tr, PipelineConfig(blocking="blocked"))
     return res["accepted"].select("ent1", "ent2", F.round("score", 6).alias("score"))
@@ -476,9 +489,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3_topk": q_tpch_q3_topk,
         "kg_blocked_candidates": q_kg_blocked_candidates,
-        "kg_alignments": lambda spark, sf_dir: run_pipeline(
-            spark, _testdata_transcripts(spark, sf_dir), PipelineConfig(blocking="blocked")
-        )["accepted"].select("ent1", "ent2", F.round("score", 6).alias("score")),
+        "kg_alignments": lambda spark, sf_dir: (
+            _ensure_shipped(spark),
+            run_pipeline(
+                spark,
+                _testdata_transcripts(spark, sf_dir),
+                PipelineConfig(blocking="blocked"),
+            )["accepted"].select("ent1", "ent2", F.round("score", 6).alias("score")),
+        )[1],
     }
 
 
