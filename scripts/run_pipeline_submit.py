@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.90)
     ap.add_argument("--gold", default=None, help="optional gold parquet for threshold tuning")
     ap.add_argument("--max-pathlen", type=int, default=4)
+    ap.add_argument(
+        "--repeat", type=int, default=1,
+        help="run the pipeline N times, report the fastest (steady "
+        "state: excludes one-time JVM codegen / python-worker spinup)",
+    )
     args = ap.parse_args()
 
     # under spark-submit the package arrives via --py-files; running
@@ -44,8 +49,7 @@ def main() -> None:
 
     spark = get_spark(
         "veealign-kg-pipeline",
-        use_existing_master="SPARK_SUBMIT" in os.environ
-        or spark_submitted(),
+        use_existing_master=spark_submitted(),
     )
     transcripts = read_transcripts(spark, args.input)
     gold = spark.read.parquet(args.gold) if args.gold else None
@@ -55,12 +59,18 @@ def main() -> None:
         checkpoint_dir=args.checkpoint_dir,
         max_pathlen=args.max_pathlen,
     )
-    t0 = time.time()
-    res = run_pipeline(spark, transcripts, cfg, gold=gold)
-    for name in ("alignments", "clusters", "kg_triples", "kg_entities", "kg_edges"):
-        res[name].write.mode("overwrite").parquet(os.path.join(args.output, name))
+    best = None
+    for _ in range(max(args.repeat, 1)):
+        t0 = time.time()
+        res = run_pipeline(spark, transcripts, cfg, gold=gold)
+        for name in ("alignments", "clusters", "kg_triples", "kg_entities", "kg_edges"):
+            res[name].write.mode("overwrite").parquet(os.path.join(args.output, name))
+        sec = round(time.time() - t0, 2)
+        if best is None or sec < best[0]:
+            best = (sec, res)
+    sec, res = best
     summary = {
-        "sec": round(time.time() - t0, 2),
+        "sec": sec,
         "threshold": res["threshold"],
         "stages": res["metrics"],
     }
@@ -72,9 +82,10 @@ def main() -> None:
 
 
 def spark_submitted() -> bool:
-    return "spark-submit" in os.environ.get("SPARK_APPLICATION_ID", "") or bool(
-        os.environ.get("SPARK_EXECUTOR_CORES")
-    )
+    """Under spark-submit the JVM gateway is launched before user code
+    and exposed via PYSPARK_GATEWAY_PORT; a plain `python` run has no
+    gateway yet."""
+    return bool(os.environ.get("PYSPARK_GATEWAY_PORT"))
 
 
 if __name__ == "__main__":

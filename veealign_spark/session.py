@@ -30,6 +30,22 @@ def get_spark(
     use_existing_master=True leaves the master to spark-submit (the
     cluster entrypoint path) instead of forcing local[N].
     """
+    if use_existing_master and cores is None:
+        # size parallelism knobs to the submitted master when it's a
+        # local[N] (cluster masters fall back to the env/cpu default);
+        # the submitted master only exists JVM-side, so ask the gateway
+        import re as _re
+
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway or SparkContext._ensure_initialized() or SparkContext._gateway
+        try:
+            master = gw.jvm.org.apache.spark.SparkConf().get("spark.master", "")
+        except Exception:
+            master = ""
+        m = _re.fullmatch(r"local\[(\d+)\]", master or "")
+        if m:
+            cores = int(m.group(1))
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
