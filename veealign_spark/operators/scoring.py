@@ -447,7 +447,8 @@ def encode_prop_contexts(
     prop_contexts: DataFrame, emb_idx: DataFrame, max_prop_len: int = 16
 ) -> DataFrame:
     """(key, self_idx, dom_idx, rng_idx) with dense array<long> of
-    length max_prop_len per side, JVM-encoded like encode_features."""
+    length max_prop_len per side. One explode + one groupBy for all
+    three slots (tagged positions), JVM-encoded like encode_features."""
     M = max_prop_len
     base = prop_contexts.select(
         F.concat_ws("#", "src", "prop").alias("key"),
@@ -455,42 +456,41 @@ def encode_prop_contexts(
         F.slice("domains", 1, M).alias("domains"),
         F.slice("ranges", 1, M).alias("ranges"),
     )
-
-    def enc_list(col_name: str, out: str) -> DataFrame:
-        ex = base.select(
-            "key", F.posexplode_outer(col_name).alias("pos", "tok")
-        ).select("key", "pos", norm_label_col(F.col("tok")).alias("norm"))
-        jx = ex.join(F.broadcast(emb_idx), "norm", "left").select(
-            "key", "pos", F.coalesce("idx", F.lit(0)).alias("idx")
-        )
-        return (
-            jx.groupBy("key")
-            .agg(
-                F.map_from_entries(
-                    F.array_agg(
-                        F.when(
-                            F.col("pos").isNotNull(),
-                            F.struct(F.col("pos"), F.col("idx")),
-                        )
-                    ).cast("array<struct<pos:int,idx:long>>")
-                ).alias("m")
-            )
-            .select(
-                "key",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(M - 1)),
-                    lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0)),
-                ).alias(out),
-            )
-        )
-    doms = enc_list("domains", "dom_idx")
-    rngs = enc_list("ranges", "rng_idx")
-    selfs = base.select(
-        "key", norm_label_col(F.col("prop_local")).alias("norm")
-    ).join(F.broadcast(emb_idx), "norm", "left").select(
-        "key", F.coalesce("idx", F.lit(0)).alias("self_idx")
+    # tagged flat positions: self at -1, domains at [0, M), ranges at [M, 2M)
+    tagged = F.concat(
+        F.array(F.struct(F.lit(-1).alias("pos"), F.col("prop_local").alias("tok"))),
+        F.transform(
+            F.col("domains"),
+            lambda tok, i: F.struct(i.alias("pos"), tok.alias("tok")),
+        ),
+        F.transform(
+            F.col("ranges"),
+            lambda tok, i: F.struct((i + M).alias("pos"), tok.alias("tok")),
+        ),
     )
-    return selfs.join(doms, "key").join(rngs, "key")
+    ex = base.select("key", F.explode(tagged).alias("pt")).select(
+        "key", F.col("pt.pos").alias("pos"), norm_label_col(F.col("pt.tok")).alias("norm")
+    )
+    jx = ex.join(F.broadcast(emb_idx), "norm", "left").select(
+        "key", "pos", F.coalesce("idx", F.lit(0)).alias("idx")
+    )
+    dense = jx.groupBy("key").agg(
+        F.map_from_entries(
+            F.array_agg(F.struct(F.col("pos"), F.col("idx"))).cast(
+                "array<struct<pos:int,idx:long>>"
+            )
+        ).alias("m")
+    )
+    fill = lambda lo: F.transform(  # noqa: E731
+        F.sequence(F.lit(lo), F.lit(lo + M - 1)),
+        lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0)),
+    )
+    return dense.select(
+        "key",
+        F.coalesce(F.element_at("m", -1), F.lit(0)).alias("self_idx"),
+        fill(0).alias("dom_idx"),
+        fill(M).alias("rng_idx"),
+    )
 
 
 def score_prop_candidates_fast(
