@@ -50,6 +50,9 @@ def main() -> None:
     spark = get_spark(
         "veealign-kg-pipeline",
         use_existing_master=spark_submitted(),
+        # sandbox corpora are ~1 GB; keep scan splits below the default
+        # 128 MB so parallelism isn't file-bound (BENCH/PLANS.md)
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
     )
     transcripts = read_transcripts(spark, args.input)
     gold = spark.read.parquet(args.gold) if args.gold else None

@@ -1,0 +1,30 @@
+"""F3/F4 abbreviation detection + resolution."""
+
+from __future__ import annotations
+
+from veealign_spark.operators import abbrev
+
+
+def test_resolution_roundtrip(spark):
+    rows = [
+        ("s", "PC_Member", None),                 # PC should resolve
+        ("s", "ProgramCommittee", None),          # expansion: initials PC
+        ("s", "PaperCommittee", None),            # competing PC expansion
+        ("s", "ABC_Track", None),                 # no expansion exists
+        ("s", "SessionChair", None),
+    ]
+    concepts = spark.createDataFrame(rows, "src string, id string, label string")
+
+    det = {(r["name"], r["abbr"]) for r in abbrev.detect_abbreviations(concepts).collect()}
+    assert ("PC_Member", "PC") in det and ("ABC_Track", "ABC") in det
+
+    res = abbrev.resolve_abbreviations(concepts, min_sim=-1.0)  # keep top-1 regardless
+    got = {(r["key"], r["abbr"]): r["expansion"] for r in res.collect()}
+    assert got[("s#PC_Member", "PC")] in ("ProgramCommittee", "PaperCommittee")
+    assert ("s#ABC_Track", "ABC") not in got  # nothing spells ABC
+
+    applied = abbrev.apply_abbreviations(concepts, res)
+    names = {r["id"]: r["resolved_name"] for r in applied.collect()}
+    assert names["PC_Member"].endswith("Member") and "PC" not in names["PC_Member"]
+    assert names["ABC_Track"] == "ABC_Track"
+    assert names["SessionChair"] == "SessionChair"
