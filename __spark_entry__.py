@@ -454,6 +454,14 @@ def q_one_to_one(spark, sf_dir):
     return one_to_one_filter(scores)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the same user's most
+    recent prior-or-simultaneous click (tagged-union carry-forward
+    window; oracle uses DuckDB's native ASOF JOIN)."""
+    events = _t(spark, sf_dir, "events")
+    return sessions.asof_join_last_event(events, "purchase", "click")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_group_neighbours": q_a1_group_neighbours,
@@ -485,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "windowed_counts": q_windowed_counts,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_topk": q_tpch_q3_topk,
@@ -521,6 +530,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey
         """,
         "a7_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "asof_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, max(event_id) AS r_event_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+            purchases AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, c.r_event_id AS matched_event_id
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
         "one_to_one_resolution": """
             WITH s AS (
               SELECT 'u' || user_id::VARCHAR AS ent1, event_type AS ent2,

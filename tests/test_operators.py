@@ -167,3 +167,31 @@ def test_tuned_threshold_beats_pinned(spark):
     f1_tuned = m.pr_metrics(tuned["accepted"], gold).collect()[0]["f1"]
     assert f1_tuned >= f1_pinned
     assert f1_tuned >= 0.97
+
+
+def test_asof_join(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 10, "purchase", 1.0, "{}"),   # matches 1
+        (3, t0 + dt.timedelta(minutes=50), 10, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=50), 10, "purchase", 1.0, "{}"),  # same-ts click matches (>=)
+        (5, t0, 20, "purchase", 1.0, "{}"),                             # no prior click -> null
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        r["event_id"]: r["matched_event_id"]
+        for r in sessions.asof_join_last_event(df, "purchase", "click").collect()
+    }
+    assert got == {2: 1, 4: 3, 5: None}
+    # tolerance: the 5-minute-old click survives a 10-min window,
+    # nothing else changes except out-of-window matches become null
+    tol = {
+        r["event_id"]: r["matched_event_id"]
+        for r in sessions.asof_join_last_event(df, "purchase", "click", tolerance_minutes=10).collect()
+    }
+    assert tol == {2: 1, 4: 3, 5: None}

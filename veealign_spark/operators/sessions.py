@@ -51,3 +51,61 @@ def windowed_counts(events: DataFrame, hours: int = 1) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def asof_join_last_event(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    tolerance_minutes: int | None = None,
+) -> DataFrame:
+    """As-of join: for each `left_type` event, the most recent
+    `right_type` event of the same user at-or-before its timestamp.
+
+    Spark has no native ASOF; the scalable formulation is the tagged
+    union + carry-forward window (one shuffle on user_id, no range
+    explosion): order (ts, tag) within user, last(right, ignorenulls)
+    over the preceding frame. Right events are first collapsed to one
+    per (user, ts) (max event_id) so tie behavior is deterministic and
+    engine-portable.
+    """
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_event_id"))
+        .select("user_id", "ts", "r_event_id", F.lit(0).alias("tag"))
+    )
+    left = events.filter(F.col("event_type") == left_type).select(
+        "user_id", "ts",
+        F.col("event_id").alias("l_event_id"),
+        F.lit(1).alias("tag"),
+    )
+    unioned = right.unionByName(
+        left.withColumn("r_event_id", F.lit(None).cast("long")),
+        allowMissingColumns=True,
+    ).unionByName(right.limit(0).withColumn("l_event_id", F.lit(None).cast("long")), allowMissingColumns=True)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "last_r", F.last("r_event_id", ignorenulls=True).over(w)
+    ).withColumn("last_r_ts", F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w))
+    out = carried.filter(F.col("tag") == 1).select(
+        F.col("l_event_id").alias("event_id"),
+        "user_id",
+        F.col("last_r").alias("matched_event_id"),
+    )
+    if tolerance_minutes is not None:
+        out = carried.filter(F.col("tag") == 1).select(
+            F.col("l_event_id").alias("event_id"),
+            "user_id",
+            F.when(
+                F.col("ts").cast("timestamp").cast("long")
+                - F.col("last_r_ts").cast("timestamp").cast("long")
+                <= tolerance_minutes * 60,
+                F.col("last_r"),
+            ).alias("matched_event_id"),
+        )
+    return out
