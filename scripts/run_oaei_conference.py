@@ -1,0 +1,70 @@
+"""Evaluate the engine end-to-end on the real OAEI conference track.
+
+Loads every conference-track ontology with a gold alignment file from
+the reference checkout, runs ONE multi-source pipeline (16 ontologies,
+120 source pairs, pairs-as-data), tunes a single global threshold on
+the union of the 21 gold files, and writes per-pair + micro P/R to
+BENCH/OAEI.md.
+
+The kernel runs frozen seeded weights (no published checkpoints), so
+these numbers measure the ENGINE on real inputs — parsing parity,
+context assembly, candidate recall, scoring plumbing, sweep — not the
+trained model's alignment quality.
+
+Usage: python scripts/run_oaei_conference.py [dataset_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from veealign_spark.plans.oaei_eval import evaluate_track  # noqa: E402
+from veealign_spark.session import get_spark  # noqa: E402
+
+DATASET = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/datasets/conference"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "BENCH/OAEI.md"
+
+
+def main() -> None:
+    spark = get_spark("oaei-conference-eval")
+    t0 = time.time()
+    res = evaluate_track(spark, DATASET)
+    wall = time.time() - t0
+    micro = res["micro"]
+    lines = [
+        "# OAEI conference-track evaluation (real fixtures, e2e)",
+        "",
+        f"Dataset: `{DATASET}` — every ontology pair with a gold alignment file.",
+        "One multi-source pipeline run (pairs-as-data); global threshold tuned",
+        "on the union of golds by the single-pass P/R sweep (A9); symmetric-best",
+        "1:1 resolution applied. Kernel weights: frozen seeded stub (no published",
+        "checkpoints in the reference repo), embeddings: deterministic hash stub",
+        "standing in for USE — numbers measure the engine, not the trained model.",
+        "",
+        f"- wall: {wall:.1f}s, tuned threshold: {res['threshold']:.4f}",
+        f"- micro: P={micro['precision']:.3f} R={micro['recall']:.3f} "
+        f"F1={micro['f1']:.3f} (tp={micro['tp']} fp={micro['fp']} fn={micro['fn']})",
+        "",
+        "| pair | tp | fp | fn | P | R | F1 |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in res["per_pair"]:
+        lines.append(
+            f"| {r['src1']}-{r['src2']} | {r['tp']} | {r['fp']} | {r['fn']} | "
+            f"{r['precision']:.3f} | {r['recall']:.3f} | {r['f1']:.3f} |"
+        )
+    lines.append("")
+    os.makedirs(os.path.dirname(OUT) or ".", exist_ok=True)
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"wall_sec": round(wall, 1), "micro": micro}, default=float))
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,21 @@ def cross_candidates(c1: DataFrame, c2: DataFrame) -> DataFrame:
     )
 
 
+def cross_candidates_multi(concepts: DataFrame) -> DataFrame:
+    """J1 across ALL source pairs in one plan node: pairs are generated
+    as data via a self-join on src1 < src2 instead of a per-pair Python
+    loop (which grows the plan O(S^2) in the number of sources — the
+    many-source KG-fusion scale hazard). Orientation: ent1 comes from
+    the lexicographically smaller source."""
+    a = with_norm(concepts).select(
+        F.col("src").alias("src1"), F.col("key").alias("ent1")
+    )
+    b = with_norm(concepts).select(
+        F.col("src").alias("src2"), F.col("key").alias("ent2")
+    )
+    return a.crossJoin(b).filter(F.col("src1") < F.col("src2")).select("ent1", "ent2")
+
+
 def _blocking_keys(
     concepts: DataFrame,
     top_ancestor: DataFrame | None,
@@ -122,6 +137,59 @@ def blocked_candidates(
     )
     return (
         k1s.join(k2s.withColumnRenamed("key", "key2"), ["block_key", "salt"])
+        .select(F.col("key").alias("ent1"), F.col("key2").alias("ent2"))
+        .dropDuplicates()
+    )
+
+
+def blocked_candidates_multi(
+    concepts: DataFrame,
+    top_ancestor: DataFrame | None = None,
+    hot_key_threshold: int = 1000,
+    n_salt: int = 16,
+    lexicon: DataFrame | None = None,
+) -> DataFrame:
+    """J1' across ALL source pairs in one self-join (pairs-as-data,
+    like cross_candidates_multi), with the same explicit hot-key
+    salting: the assigned side hashes hot keys into n_salt buckets, the
+    replicated side explodes across all of them, so a Zipf-hot block
+    key never lands on a single task."""
+    k = _blocking_keys(concepts, top_ancestor, lexicon).withColumn(
+        "src", F.substring_index("key", "#", 1)
+    )
+    freq = k.groupBy("block_key").count()
+    hot = freq.filter(F.col("count") > hot_key_threshold).select(
+        "block_key", F.lit(True).alias("is_hot")
+    )
+    k1s = (
+        k.join(F.broadcast(hot), "block_key", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot"), F.pmod(F.xxhash64("key"), F.lit(n_salt))
+            ).otherwise(F.lit(0)),
+        )
+        .drop("is_hot")
+    )
+    salts = F.when(
+        F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))
+    ).otherwise(F.array(F.lit(0)))
+    k2s = (
+        k.join(F.broadcast(hot), "block_key", "left")
+        .withColumn("salt", F.explode(salts.cast("array<bigint>")))
+        .drop("is_hot")
+    )
+    return (
+        k1s.join(
+            k2s.select(
+                "block_key",
+                "salt",
+                F.col("key").alias("key2"),
+                F.col("src").alias("src2"),
+            ),
+            ["block_key", "salt"],
+        )
+        .filter(F.col("src") < F.col("src2"))
         .select(F.col("key").alias("ent1"), F.col("key2").alias("ent2"))
         .dropDuplicates()
     )

@@ -35,11 +35,17 @@ from veealign_spark.operators import kernel_np
 from veealign_spark.operators.kernel_np import KernelParams
 
 
-def term_universe(triples: DataFrame, concepts: DataFrame | None = None) -> DataFrame:
+def term_universe(
+    triples: DataFrame,
+    concepts: DataFrame | None = None,
+    label_map: DataFrame | None = None,
+) -> DataFrame:
     """Distinct raw terms whose embeddings the kernel may look up:
     every subject/object/predicate local name (the reference embeds
     each unique extracted element once — data_preprocessing.py:192,
-    the manual dedup-before-embed optimization)."""
+    the manual dedup-before-embed optimization). When a P2 label map
+    is given, its labels join the universe — ids with rdfs:labels are
+    embedded via their label (data_preprocessing.py:195-197)."""
     terms = (
         triples.select(F.col("subj").alias("term"))
         .unionByName(triples.select(F.col("obj").alias("term")))
@@ -49,7 +55,31 @@ def term_universe(triples: DataFrame, concepts: DataFrame | None = None) -> Data
         terms = terms.unionByName(
             concepts.select(F.coalesce("label", "id").alias("term"))
         )
+    if label_map is not None:
+        terms = terms.unionByName(label_map.select(F.col("label").alias("term")))
     return terms.distinct()
+
+
+def _substitute_labels(
+    df: DataFrame, src_col, tok_col, label_map: DataFrame | None
+):
+    """P2 at the embed boundary (data_preprocessing.py:195-197,
+    ontology.py:224-227): tokens that are labeled ids embed via their
+    rdfs:label. Broadcast join on (src, id); returns df with `tok`
+    replaced by coalesce(label, tok). No-op when label_map is None."""
+    out = df.withColumn("__tok", tok_col).withColumn("__src", src_col)
+    if label_map is None:
+        return out
+    lm = label_map.select(
+        F.col("src").alias("__src"),
+        F.col("id").alias("__tok"),
+        F.col("label").alias("__label"),
+    )
+    return (
+        out.join(F.broadcast(lm), ["__src", "__tok"], "left")
+        .withColumn("__tok", F.coalesce("__label", "__tok"))
+        .drop("__label")
+    )
 
 
 def build_embeddings_table(
@@ -276,6 +306,7 @@ def encode_features(
     max_types: int = 4,
     max_paths: int = 2,
     max_pathlen: int = 4,
+    label_map: DataFrame | None = None,
 ) -> DataFrame:
     """(key, node_idx, fidx) with fidx a dense array<long> of length
     T*P*L laid out [t][p][l] (row-major), pad/UNK = 0.
@@ -302,21 +333,28 @@ def encode_features(
             ),
         )
     )
-    exploded = features.select(
-        F.concat_ws("#", "src", "entity").alias("key"),
-        F.col("entity").alias("ent_local"),
-        F.explode_outer(flat).alias("pt"),
+    exploded = _substitute_labels(
+        features.select(
+            "src",
+            F.concat_ws("#", "src", "entity").alias("key"),
+            F.col("entity").alias("ent_local"),
+            F.explode_outer(flat).alias("pt"),
+        ),
+        F.col("src"),
+        F.col("pt.tok"),
+        label_map,
     ).select(
         "key",
         "ent_local",
+        F.col("__src").alias("e_src"),
         F.col("pt.pos").alias("pos"),
-        norm_label_col(F.col("pt.tok")).alias("norm"),
+        norm_label_col(F.col("__tok")).alias("norm"),
     )
     joined = exploded.join(F.broadcast(emb_idx), "norm", "left").select(
-        "key", "ent_local", "pos", F.coalesce("idx", F.lit(0)).alias("idx")
+        "key", "ent_local", "e_src", "pos", F.coalesce("idx", F.lit(0)).alias("idx")
     )
     dense = (
-        joined.groupBy("key", "ent_local")
+        joined.groupBy("key", "ent_local", "e_src")
         .agg(
             F.map_from_entries(
                 F.array_agg(
@@ -330,27 +368,34 @@ def encode_features(
         .select(
             "key",
             "ent_local",
+            "e_src",
             F.transform(
                 F.sequence(F.lit(0), F.lit(T * P * L - 1)),
                 lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0)),
             ).alias("fidx"),
         )
     )
-    node = dense.select(
-        "key",
-        "fidx",
-        norm_label_col(F.col("ent_local")).alias("norm"),
+    node = _substitute_labels(
+        dense, F.col("e_src"), F.col("ent_local"), label_map
+    ).select(
+        "key", "fidx", norm_label_col(F.col("__tok")).alias("norm")
     ).join(F.broadcast(emb_idx), "norm", "left")
     return node.select(
         "key", F.coalesce("idx", F.lit(0)).alias("node_idx"), "fidx"
     )
 
 
-def encode_node_idx(concepts_keys: DataFrame, emb_idx: DataFrame) -> DataFrame:
+def encode_node_idx(
+    concepts_keys: DataFrame,
+    emb_idx: DataFrame,
+    label_map: DataFrame | None = None,
+) -> DataFrame:
     """(key, node_idx) for candidate entities (direct-route lookups)."""
     local = F.substring_index(F.col("key"), "#", -1)
+    src = F.substring_index(F.col("key"), "#", 1)
     return (
-        concepts_keys.select("key", norm_label_col(local).alias("norm"))
+        _substitute_labels(concepts_keys.select("key"), src, local, label_map)
+        .select("key", norm_label_col(F.col("__tok")).alias("norm"))
         .join(F.broadcast(emb_idx), "norm", "left")
         .select("key", F.coalesce("idx", F.lit(0)).alias("node_idx"))
     )
@@ -362,6 +407,7 @@ def score_concept_candidates_fast(
     emb_bc: EmbBroadcast,
     params: KernelParams,
     max_types: int = 4,
+    label_map: DataFrame | None = None,
 ) -> DataFrame:
     """Fast scorer over pre-encoded features. Rows missing an encoded
     entry take the direct cosine route (A6) using node indices resolved
@@ -373,7 +419,7 @@ def score_concept_candidates_fast(
         .unionByName(candidates.select(F.col("ent2").alias("key")))
         .distinct()
     )
-    nodes = encode_node_idx(cand_keys, emb_idx)
+    nodes = encode_node_idx(cand_keys, emb_idx, label_map)
     f = enc_features.select("key", "node_idx", "fidx")
     j = (
         candidates.join(
@@ -444,13 +490,17 @@ def score_concept_candidates_fast(
 
 
 def encode_prop_contexts(
-    prop_contexts: DataFrame, emb_idx: DataFrame, max_prop_len: int = 16
+    prop_contexts: DataFrame,
+    emb_idx: DataFrame,
+    max_prop_len: int = 16,
+    label_map: DataFrame | None = None,
 ) -> DataFrame:
     """(key, self_idx, dom_idx, rng_idx) with dense array<long> of
     length max_prop_len per side. One explode + one groupBy for all
     three slots (tagged positions), JVM-encoded like encode_features."""
     M = max_prop_len
     base = prop_contexts.select(
+        "src",
         F.concat_ws("#", "src", "prop").alias("key"),
         F.col("prop").alias("prop_local"),
         F.slice("domains", 1, M).alias("domains"),
@@ -468,8 +518,13 @@ def encode_prop_contexts(
             lambda tok, i: F.struct((i + M).alias("pos"), tok.alias("tok")),
         ),
     )
-    ex = base.select("key", F.explode(tagged).alias("pt")).select(
-        "key", F.col("pt.pos").alias("pos"), norm_label_col(F.col("pt.tok")).alias("norm")
+    ex = _substitute_labels(
+        base.select("src", "key", F.explode(tagged).alias("pt")),
+        F.col("src"),
+        F.col("pt.tok"),
+        label_map,
+    ).select(
+        "key", F.col("pt.pos").alias("pos"), norm_label_col(F.col("__tok")).alias("norm")
     )
     jx = ex.join(F.broadcast(emb_idx), "norm", "left").select(
         "key", "pos", F.coalesce("idx", F.lit(0)).alias("idx")
@@ -499,8 +554,22 @@ def score_prop_candidates_fast(
     emb_bc: EmbBroadcast,
     params: KernelParams,
     max_prop_len: int = 16,
+    label_map: DataFrame | None = None,
 ) -> DataFrame:
+    """Property scorer (K9). Pairs with no encoded context row (props
+    that never appear with both domain and range — possible when the
+    property universe comes from parsed OWL, S1) take the direct
+    raw-name-cosine route, mirroring the reference's KeyError fallback
+    (train.py:384-397, A6)."""
     M = max_prop_len
+    spark = candidates.sparkSession
+    emb_idx = emb_index_df(spark, emb_bc)
+    cand_keys = (
+        candidates.select(F.col("ent1").alias("key"))
+        .unionByName(candidates.select(F.col("ent2").alias("key")))
+        .distinct()
+    )
+    nodes = encode_node_idx(cand_keys, emb_idx, label_map)
     j = (
         candidates.join(
             enc_props.select(
@@ -522,7 +591,17 @@ def score_prop_candidates_fast(
             "ent2",
             "left",
         )
-        .select("ent1", "ent2", "s1", "dm1", "r1", "s2", "dm2", "r2")
+        .join(
+            nodes.select(F.col("key").alias("ent1"), F.col("node_idx").alias("d1")),
+            "ent1",
+            "left",
+        )
+        .join(
+            nodes.select(F.col("key").alias("ent2"), F.col("node_idx").alias("d2")),
+            "ent2",
+            "left",
+        )
+        .select("ent1", "ent2", "s1", "dm1", "r1", "s2", "dm2", "r2", "d1", "d2")
     )
     bc = emb_bc.bc
     p_dict = params.to_dict()
@@ -534,12 +613,23 @@ def score_prop_candidates_fast(
             B = len(pdf)
             if B == 0:
                 continue
-            feats = np.zeros((B, 2, 3, M), dtype=np.int64)
-            for side, (s, dm, r) in enumerate([("s1", "dm1", "r1"), ("s2", "dm2", "r2")]):
-                feats[:, side, 0, 0] = pdf[s].fillna(0).to_numpy().astype(np.int64)
-                feats[:, side, 1, :] = np.vstack(pdf[dm].to_numpy())
-                feats[:, side, 2, :] = np.vstack(pdf[r].to_numpy())
-            scores = kernel_np.score_property_pairs(feats, mat, p)
+            miss = pdf["s1"].isna().to_numpy() | pdf["s2"].isna().to_numpy()
+            scores = np.zeros(B, dtype=np.float64)
+            if (~miss).any():
+                sub = pdf[~miss]
+                feats = np.zeros((len(sub), 2, 3, M), dtype=np.int64)
+                for side, (s, dm, r) in enumerate(
+                    [("s1", "dm1", "r1"), ("s2", "dm2", "r2")]
+                ):
+                    feats[:, side, 0, 0] = sub[s].to_numpy().astype(np.int64)
+                    feats[:, side, 1, :] = np.vstack(sub[dm].to_numpy())
+                    feats[:, side, 2, :] = np.vstack(sub[r].to_numpy())
+                scores[~miss] = kernel_np.score_property_pairs(feats, mat, p)
+            if miss.any():
+                sub = pdf[miss]
+                v1 = mat[sub["d1"].fillna(0).to_numpy().astype(np.int64)]
+                v2 = mat[sub["d2"].fillna(0).to_numpy().astype(np.int64)]
+                scores[miss] = kernel_np.direct_cosine(v1, v2)
             yield pd.DataFrame(
                 {"ent1": pdf["ent1"], "ent2": pdf["ent2"], "score": scores}
             )

@@ -1,0 +1,245 @@
+"""End-to-end OAEI-track evaluation over real OWL fixtures.
+
+Runs the full engine (S1 OWL parse -> contexts -> candidates ->
+dual-attention scoring -> threshold -> 1:1 resolution) on actual
+ontology pairs and scores the emitted alignment against the actual
+OAEI gold file (load_alignment_rdf), producing the P/R/F table the
+reference reports (train.py:195-235).
+
+Gold IRIs become engine keys exactly the way the reference does
+(train.py:64-65): take the IRI tail after the last '/', split on '#',
+drop a file extension from the ontology part, '-' -> '_' (data_
+preprocessing.py:188), re-join as "<onto>#<local>".
+
+The kernel runs frozen seeded weights (the published checkpoints are
+not in the reference repo), so absolute P/R is NOT the trained model's
+— the number measures the engine: parsing, contexts, candidate recall,
+scoring plumbing and threshold sweep on real inputs. The measured
+numbers are recorded in BENCH/OAEI.md by scripts/run_oaei_conference.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from veealign_spark.operators import canonicalize
+from veealign_spark.operators import metrics as metrics_ops
+from veealign_spark.plans.pipeline import PipelineConfig, run_pipeline
+from veealign_spark.sources import owl
+from veealign_spark.sources.oaei import load_alignment_rdf
+
+
+def reference_config(**overrides) -> PipelineConfig:
+    """The reference's published inference parameters (src/config.ini:
+    max_paths=21, max_pathlen=8, bag_of_neighbours=False,
+    weighted_sum=False) with max_types derived from the data
+    (data_preprocessing.py:318)."""
+    kw = dict(
+        max_paths=21,
+        max_pathlen=8,
+        bag_of_neighbours=False,
+        weighted_sum=False,
+        derive_types=True,
+        blocking="cross",
+    )
+    kw.update(overrides)
+    return PipelineConfig(**kw)
+
+
+def gold_keys(gold: DataFrame) -> DataFrame:
+    """Map alignment-cell IRIs to engine keys (train.py:64-65)."""
+
+    def to_key(col):
+        tail = F.substring_index(col, "/", -1)
+        src = F.regexp_replace(
+            F.regexp_replace(F.substring_index(tail, "#", 1), r"\.[^.]+$", ""),
+            "-",
+            "_",
+        )
+        return F.concat_ws("#", src, F.substring_index(tail, "#", -1))
+
+    return gold.select(
+        to_key(F.col("ent1")).alias("ent1"),
+        to_key(F.col("ent2")).alias("ent2"),
+        "relation",
+        "measure",
+    )
+
+
+def _orient(pairs: DataFrame, src1: str) -> DataFrame:
+    """Canonicalize pair orientation so (ent1 from src1) always."""
+    flip = F.substring_index("ent1", "#", 1) != F.lit(src1)
+    return pairs.select(
+        F.when(flip, F.col("ent2")).otherwise(F.col("ent1")).alias("ent1"),
+        F.when(flip, F.col("ent1")).otherwise(F.col("ent2")).alias("ent2"),
+        *[c for c in pairs.columns if c not in ("ent1", "ent2")],
+    )
+
+
+def evaluate_pair(
+    spark: SparkSession,
+    onto_path1: str,
+    onto_path2: str,
+    alignment_path: str,
+    config: PipelineConfig | None = None,
+    tune_on_gold: bool = True,
+) -> dict:
+    """Run the engine on one real ontology pair; P/R vs the real gold.
+
+    Returns {pair, threshold, n_gold, n_emitted, raw/one2one pr rows,
+    result} — `raw` is thresholded pairs, `one2one` after symmetric-best
+    1:1 resolution (the reference's greedy resolution, test.py)."""
+    cfg = config or reference_config()
+    tables = owl.ontology_tables(spark, [onto_path1, onto_path2])
+    gold = gold_keys(load_alignment_rdf(spark, alignment_path)).filter(
+        F.col("relation") == "="
+    )
+    src1 = owl.ontology_name(onto_path1)
+
+    result = run_pipeline(
+        spark,
+        triples=tables["triples"],
+        concepts=tables["concepts"],
+        props=tables["props"],
+        label_map=tables["labels"],
+        config=cfg,
+        gold=gold if tune_on_gold else None,
+    )
+    accepted = _orient(result["accepted"], src1)
+    one2one = _orient(
+        canonicalize.one_to_one_filter(
+            result["accepted"].select("ent1", "ent2", "score")
+        ),
+        src1,
+    )
+    raw_pr = metrics_ops.pr_metrics(accepted, gold).first().asDict()
+    o2o_pr = metrics_ops.pr_metrics(one2one, gold).first().asDict()
+    return {
+        "pair": f"{src1}-{owl.ontology_name(onto_path2)}",
+        "threshold": result["threshold"],
+        "n_gold": gold.count(),
+        "n_emitted": accepted.count(),
+        "raw": raw_pr,
+        "one2one": o2o_pr,
+        "result": result,
+    }
+
+
+def orient_pairs(df: DataFrame) -> DataFrame:
+    """Canonical orientation: ent1's source lexicographically smaller."""
+    s1 = F.substring_index("ent1", "#", 1)
+    s2 = F.substring_index("ent2", "#", 1)
+    flip = s1 > s2
+    return df.select(
+        F.when(flip, F.col("ent2")).otherwise(F.col("ent1")).alias("ent1"),
+        F.when(flip, F.col("ent1")).otherwise(F.col("ent2")).alias("ent2"),
+        *[c for c in df.columns if c not in ("ent1", "ent2")],
+    )
+
+
+def evaluate_track(
+    spark: SparkSession,
+    dataset_dir: str,
+    config: PipelineConfig | None = None,
+    tune_on_gold: bool = True,
+    one2one: bool = True,
+) -> dict:
+    """Whole-track evaluation in ONE pipeline run: every ontology with
+    a gold file is loaded as a source, candidates span all source pairs
+    (pairs-as-data self-join), one global threshold is tuned on the
+    union of golds, and P/R is reported per gold pair + micro-averaged
+    over the evaluated pairs (the reference evaluates exactly the pairs
+    with gold files — train.py:13-25)."""
+    cfg = config or reference_config()
+    triplets = conference_pairs(dataset_dir)
+    onto_paths = sorted({p for a, b, _ in triplets for p in (a, b)})
+    tables = owl.ontology_tables(spark, onto_paths)
+
+    gold_all = None
+    eval_pairs = []
+    for p1, p2, apath in triplets:
+        g = gold_keys(load_alignment_rdf(spark, apath)).filter(
+            F.col("relation") == "="
+        )
+        gold_all = g if gold_all is None else gold_all.unionByName(g)
+        n1, n2 = owl.ontology_name(p1), owl.ontology_name(p2)
+        eval_pairs.append(tuple(sorted((n1, n2))))
+    gold_all = orient_pairs(gold_all).localCheckpoint(eager=True)
+
+    result = run_pipeline(
+        spark,
+        triples=tables["triples"],
+        concepts=tables["concepts"],
+        props=tables["props"],
+        label_map=tables["labels"],
+        config=cfg,
+        gold=gold_all if tune_on_gold else None,
+    )
+    emitted = result["accepted"].select("ent1", "ent2", "score")
+    if one2one:
+        emitted = canonicalize.one_to_one_filter(emitted)
+    emitted = orient_pairs(emitted)
+
+    pair_df = spark.createDataFrame(eval_pairs, "src1 string, src2 string").distinct()
+    acc = emitted.select("ent1", "ent2").withColumn("pred", F.lit(1))
+    g = gold_all.select("ent1", "ent2").dropDuplicates().withColumn("act", F.lit(1))
+    j = (
+        acc.join(g, ["ent1", "ent2"], "full")
+        .fillna(0, ["pred", "act"])
+        .withColumn("src1", F.substring_index("ent1", "#", 1))
+        .withColumn("src2", F.substring_index("ent2", "#", 1))
+        .join(F.broadcast(pair_df), ["src1", "src2"])  # evaluated pairs only
+    )
+    per_pair = (
+        j.groupBy("src1", "src2")
+        .agg(
+            F.sum(F.col("pred") * F.col("act")).alias("tp"),
+            F.sum(F.col("pred") * (1 - F.col("act"))).alias("fp"),
+            F.sum((1 - F.col("pred")) * F.col("act")).alias("fn"),
+        )
+        .withColumn("precision", F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)))
+        .withColumn("recall", F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)))
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("src1", "src2")
+    )
+    rows = [r.asDict() for r in per_pair.collect()]
+    tp = sum(r["tp"] for r in rows)
+    fp = sum(r["fp"] for r in rows)
+    fn = sum(r["fn"] for r in rows)
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {
+        "threshold": result["threshold"],
+        "per_pair": rows,
+        "micro": {
+            "tp": tp, "fp": fp, "fn": fn,
+            "precision": prec, "recall": rec, "f1": f1,
+        },
+        "result": result,
+    }
+
+
+def conference_pairs(dataset_dir: str) -> list[tuple[str, str, str]]:
+    """(onto1, onto2, alignment) triplets for every gold file present."""
+    adir = os.path.join(dataset_dir, "alignments")
+    odir = os.path.join(dataset_dir, "ontologies")
+    out = []
+    for f in sorted(os.listdir(adir)):
+        if not f.endswith(".rdf"):
+            continue
+        a, b = f.rsplit(".", 1)[0].split("-", 1)
+        p1, p2 = os.path.join(odir, a + ".owl"), os.path.join(odir, b + ".owl")
+        if os.path.exists(p1) and os.path.exists(p2):
+            out.append((p1, p2, os.path.join(adir, f)))
+    return out

@@ -141,18 +141,25 @@ def props_from_triples(triples: DataFrame) -> DataFrame:
     )
 
 
-def _source_pairs(concepts: DataFrame) -> list[tuple[str, str]]:
-    srcs = sorted(r["src"] for r in concepts.select("src").distinct().collect())
-    return [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]]
-
-
 def run_pipeline(
     spark: SparkSession,
-    transcripts: DataFrame,
+    transcripts: DataFrame | None = None,
     config: PipelineConfig | None = None,
     gold: DataFrame | None = None,
+    triples: DataFrame | None = None,
+    concepts: DataFrame | None = None,
+    props: DataFrame | None = None,
+    label_map: DataFrame | None = None,
 ) -> dict:
     """Full pipeline. Returns dict of result DataFrames + metrics.
+
+    Two entry shapes:
+    - transcripts=... : mentions are extracted and staged into triples
+      (the 100 TB fact path);
+    - triples=... (+ optional concepts/props/label_map from
+      sources.owl.ontology_tables): real-ontology ingestion (S1) —
+      the concept/property universes and P2 label resolution come from
+      the parsed OWL instead of being derived from the edge table.
 
     If `gold` is given, the acceptance threshold is tuned on it by the
     single-pass P/R-curve sweep (A9, argmax F1 — the reference's
@@ -163,15 +170,20 @@ def run_pipeline(
     ledger = StageLedger(spark, cfg.checkpoint_dir)
     params = cfg.kernel_params()
 
-    extract = (
-        src_transcripts.extract_mentions
-        if cfg.extractor == "jvm"
-        else src_transcripts.extract_mentions_pandas
-    )
-    mentions = extract(transcripts)
-    triples = ledger.stage(
-        "triples", lambda: src_transcripts.mentions_to_triples(mentions)
-    )
+    if triples is None:
+        if transcripts is None:
+            raise ValueError("run_pipeline needs transcripts or triples")
+        extract = (
+            src_transcripts.extract_mentions
+            if cfg.extractor == "jvm"
+            else src_transcripts.extract_mentions_pandas
+        )
+        mentions = extract(transcripts)
+        triples = ledger.stage(
+            "triples", lambda: src_transcripts.mentions_to_triples(mentions)
+        )
+    else:
+        triples = ledger.stage("triples", lambda t=triples: t)
 
     ctx = ledger.stage(
         "contexts",
@@ -195,21 +207,25 @@ def run_pipeline(
     )
     prop_ctx = ledger.stage("prop_contexts", lambda: contexts.build_prop_contexts(triples))
 
-    concepts = concepts_from_triples(triples)
-    props = props_from_triples(triples)
+    if concepts is None:
+        concepts = concepts_from_triples(triples)
+    if props is None:
+        props = props_from_triples(triples)
 
     # embeddings: distributed dim table -> broadcast (indexer, matrix)
     terms = [
         r["term"]
-        for r in scoring.term_universe(triples, concepts).collect()
+        for r in scoring.term_universe(triples, concepts, label_map).collect()
     ]
     emb_bc = scoring.EmbBroadcast.from_terms(spark, terms, cfg.emb_dim)
 
-    # candidate generation per source pair
-    pairs = _source_pairs(concepts)
-    all_cand = None
-    anc = None
-    if cfg.blocking == "blocked":
+    # candidate generation: ALL source pairs in one plan node — pairs
+    # are data (self-join on src1 < src2), not per-pair Python unions,
+    # so the plan stays O(1) in the number of sources (many-source
+    # KG-fusion scale requirement)
+    if cfg.blocking == "cross":
+        all_cand = cand.cross_candidates_multi(concepts)
+    else:
         # top root ancestor as a context blocking key — reuse the root
         # paths already materialized in the contexts stage (nbr_type 0)
         anc = (
@@ -217,35 +233,28 @@ def run_pipeline(
             .select("src", "entity", F.element_at("path", -1).alias("ancestor"))
             .dropDuplicates()
         )
-    for a, b in pairs:
-        ca = cand.with_norm(concepts.filter(F.col("src") == a))
-        cb = cand.with_norm(concepts.filter(F.col("src") == b))
-        if cfg.blocking == "cross":
-            c = cand.cross_candidates(ca, cb)
-        else:
-            c = cand.blocked_candidates(
-                ca,
-                cb,
-                anc.filter(F.col("src") == a) if anc is not None else None,
-                anc.filter(F.col("src") == b) if anc is not None else None,
-                hot_key_threshold=cfg.hot_key_threshold,
-                n_salt=cfg.n_salt,
-            )
-        all_cand = c if all_cand is None else all_cand.unionByName(c)
+        all_cand = cand.blocked_candidates_multi(
+            concepts,
+            anc,
+            hot_key_threshold=cfg.hot_key_threshold,
+            n_salt=cfg.n_salt,
+        )
 
-    prop_cand = None
-    for a, b in pairs:
-        for kind in ("Object Property", "Datatype Property"):
-            pa = props.filter((F.col("src") == a) & (F.col("kind") == kind))
-            pb = props.filter((F.col("src") == b) & (F.col("kind") == kind))
-            pc = cand.cross_candidates(cand.with_norm(pa), cand.with_norm(pb))
-            prop_cand = pc if prop_cand is None else prop_cand.unionByName(pc)
-
-    empty_pairs = spark.createDataFrame([], "ent1 string, ent2 string")
-    if all_cand is None:
-        all_cand = empty_pairs
-    if prop_cand is None:
-        prop_cand = empty_pairs
+    # property candidates: same pairs-as-data self-join, kind-matched
+    # (Object with Object, Datatype with Datatype — data_preprocessing
+    # keeps the two universes separate)
+    pn = cand.with_norm(props)
+    prop_cand = (
+        pn.select("kind", F.col("src").alias("src1"), F.col("key").alias("ent1"))
+        .join(
+            pn.select(
+                "kind", F.col("src").alias("src2"), F.col("key").alias("ent2")
+            ),
+            "kind",
+        )
+        .filter(F.col("src1") < F.col("src2"))
+        .select("ent1", "ent2")
+    )
 
     candidates_df = ledger.stage("candidates", lambda: all_cand)
     # AQE coalesces the (byte-wise tiny) candidate table to very few
@@ -262,16 +271,18 @@ def run_pipeline(
     # entity-universe-sized dim tables, referenced twice each in the
     # scoring joins — materialize once
     enc_feats = scoring.encode_features(
-        features, emb_idx, cfg.max_types, cfg.max_paths, cfg.max_pathlen
+        features, emb_idx, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
+        label_map=label_map,
     ).localCheckpoint(eager=True)
-    enc_props = scoring.encode_prop_contexts(prop_ctx, emb_idx).localCheckpoint(
-        eager=True
-    )
+    enc_props = scoring.encode_prop_contexts(
+        prop_ctx, emb_idx, label_map=label_map
+    ).localCheckpoint(eager=True)
     scores_c = scoring.score_concept_candidates_fast(
-        candidates_df, enc_feats, emb_bc, params, cfg.max_types
+        candidates_df, enc_feats, emb_bc, params, cfg.max_types,
+        label_map=label_map,
     ).withColumn("is_prop", F.lit(False))
     scores_p = scoring.score_prop_candidates_fast(
-        prop_cand, enc_props, emb_bc, params
+        prop_cand, enc_props, emb_bc, params, label_map=label_map
     ).withColumn("is_prop", F.lit(True))
     scores = ledger.stage("scores", lambda: scores_c.unionByName(scores_p))
 
