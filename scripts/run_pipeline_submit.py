@@ -9,7 +9,7 @@ metrics ledger under --output. Resumable: pass the same
 
 Local smoke (the sandbox proxy for the N / 4N executor runs):
     python tools/make_pyfiles.py
-    spark-submit --master local[8]  --py-files dist/veealign_spark.zip \
+    spark-submit --master local[8] --py-files dist/veealign_spark.zip \
         scripts/run_pipeline_submit.py --input /tmp/tr --output /tmp/out8
     spark-submit --master local[32] --py-files dist/veealign_spark.zip \
         scripts/run_pipeline_submit.py --input /tmp/tr --output /tmp/out32
@@ -38,6 +38,13 @@ def main() -> None:
         help="run the pipeline N times, report the fastest (steady "
         "state: excludes one-time JVM codegen / python-worker spinup)",
     )
+    ap.add_argument(
+        "--no-write", action="store_true",
+        help="measure pipeline compute only: materialize results via "
+        "count() instead of writing the kg_* tables (the scaling-"
+        "efficiency measurement mode — output writes are a fixed "
+        "serial-ish tail that belongs to the sink, not the pipeline)",
+    )
     args = ap.parse_args()
 
     # under spark-submit the package arrives via --py-files; running
@@ -62,18 +69,34 @@ def main() -> None:
         checkpoint_dir=args.checkpoint_dir,
         max_pathlen=args.max_pathlen,
     )
+    out_tables = ("alignments", "clusters", "kg_triples", "kg_entities", "kg_edges")
     best = None
+    runs = []
     for _ in range(max(args.repeat, 1)):
         t0 = time.time()
         res = run_pipeline(spark, transcripts, cfg, gold=gold)
-        for name in ("alignments", "clusters", "kg_triples", "kg_entities", "kg_edges"):
-            res[name].write.mode("overwrite").parquet(os.path.join(args.output, name))
+        if args.no_write:
+            for name in out_tables:
+                res[name].count()  # force full materialization
+        else:
+            for name in out_tables:
+                res[name].write.mode("overwrite").parquet(
+                    os.path.join(args.output, name)
+                )
         sec = round(time.time() - t0, 2)
+        runs.append(sec)
         if best is None or sec < best[0]:
             best = (sec, res)
     sec, res = best
+    if args.no_write:
+        # persist once, untimed, so --no-write still leaves real output
+        for name in out_tables:
+            res[name].write.mode("overwrite").parquet(
+                os.path.join(args.output, name)
+            )
     summary = {
         "sec": sec,
+        "runs": runs,
         "threshold": res["threshold"],
         "stages": res["metrics"],
     }

@@ -28,3 +28,46 @@ def test_resolution_roundtrip(spark):
     assert names["PC_Member"].endswith("Member") and "PC" not in names["PC_Member"]
     assert names["ABC_Track"] == "ABC_Track"
     assert names["SessionChair"] == "SessionChair"
+
+
+def test_multiple_acronyms_single_row(spark):
+    """A name with two resolved acronyms yields ONE row with BOTH
+    expanded (not one partially-rewritten row per acronym)."""
+    from veealign_spark.operators import abbrev
+
+    concepts = spark.createDataFrame(
+        [
+            ("s", "PC_AI_Review", None),
+            ("s", "Program_Committee", None),
+            ("s", "Artificial_Intelligence", None),
+        ],
+        "src string, id string, label string",
+    )
+    resolved = spark.createDataFrame(
+        [
+            ("s#PC_AI_Review", "PC", "Program_Committee", 0.99),
+            ("s#PC_AI_Review", "AI", "Artificial_Intelligence", 0.99),
+        ],
+        "key string, abbr string, expansion string, sim double",
+    )
+    out = abbrev.apply_abbreviations(concepts, resolved)
+    rows = {r["id"]: r["resolved_name"] for r in out.collect()}
+    assert len(out.collect()) == 3  # one row per concept
+    assert rows["PC_AI_Review"] == "program committee artificial intelligence Review"
+
+
+def test_replacement_escaping(spark):
+    """Expansions containing '$' or backslash are literal text, not
+    regex group references."""
+    from veealign_spark.operators import abbrev
+
+    concepts = spark.createDataFrame(
+        [("s", "USD_Amount", None)], "src string, id string, label string"
+    )
+    resolved = spark.createDataFrame(
+        [("s#USD_Amount", "USD", "a$1\\2b", 0.99)],
+        "key string, abbr string, expansion string, sim double",
+    )
+    out = abbrev.apply_abbreviations(concepts, resolved)
+    name = out.collect()[0]["resolved_name"]
+    assert "$1" in name.replace(" ", "") or "$" in name  # no group substitution crash

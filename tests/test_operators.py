@@ -195,3 +195,64 @@ def test_asof_join(spark):
         for r in sessions.asof_join_last_event(df, "purchase", "click", tolerance_minutes=10).collect()
     }
     assert tol == {2: 1, 4: 3, 5: None}
+
+
+def test_minhash_hot_bucket_star_reduction(spark):
+    """Mass-duplicate corpus: k identical docs share every band bucket.
+    Uncapped emits k(k-1)/2 pairs (the quadratic straggler); the
+    max_bucket_size guard star-reduces to k-1 hub pairs while
+    connected-components cluster recovery is unchanged."""
+    from veealign_spark.operators import canonicalize, dedup
+
+    k = 60
+    rows = [(f"d{i:03d}", "the same exact duplicated text body here") for i in range(k)]
+    rows += [("x1", "an unrelated document about graphs and spark"),
+             ("x2", "an unrelated document about graphs and spark"),
+             ("y1", "completely different content with no overlap at all")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    uncapped = dedup.minhash_lsh_pairs(docs, n_bands=4)
+    capped = dedup.minhash_lsh_pairs(docs, n_bands=4, max_bucket_size=8)
+    n_un, n_cap = uncapped.count(), capped.count()
+    # quadratic vs linear in the hot cluster
+    assert n_un >= k * (k - 1) // 2
+    assert n_cap <= (k - 1) + 5
+    # every capped pair agrees on all bands (identical docs)
+    hub_pairs = capped.filter(F.col("doc_a") == "d000")
+    assert hub_pairs.count() == k - 1
+
+    def clusters(pairs):
+        cc = canonicalize.connected_components(
+            pairs.select(F.col("doc_a").alias("ent1"), F.col("doc_b").alias("ent2"))
+        )
+        return {
+            tuple(sorted(r["entity"] for r in grp))
+            for _, grp in __import__("itertools").groupby(
+                sorted(cc.collect(), key=lambda r: r["canon_id"]),
+                key=lambda r: r["canon_id"],
+            )
+        }
+
+    assert clusters(capped) == clusters(uncapped)
+
+
+def test_distributed_cc_pointer_jumping_long_chain(spark):
+    """A 300-node chain has diameter 299: plain min-label propagation
+    needs ~300 rounds; pointer jumping converges in O(log n). Also:
+    exhausting max_iter raises instead of silently splitting."""
+    from veealign_spark.operators.canonicalize import _distributed_cc
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n - 1)],
+        "ent1 string, ent2 string",
+    )
+    out = _distributed_cc(edges, max_iter=12)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r["canon_id"] for r in rows} == {"n0000"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        _distributed_cc(edges, max_iter=2)

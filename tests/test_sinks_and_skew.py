@@ -88,3 +88,19 @@ def test_one_to_one_filter(spark):
     df = spark.createDataFrame(rows, "ent1 string, ent2 string, score double")
     got = {(r["ent1"], r["ent2"]) for r in one_to_one_filter(df).collect()}
     assert got == {("a1", "b1"), ("a3", "b3")}
+
+
+def test_oaei_sink_escapes_quotes(spark, tmp_path):
+    """IRIs with apostrophes/quotes must stay parseable RDF/XML."""
+    from veealign_spark.sources.oaei import load_alignment_rdf, write_alignment_rdf
+
+    acc = spark.createDataFrame(
+        [("http://a#O'Brien_Class", 'http://b#Say_"Hi"', 0.97)],
+        "ent1 string, ent2 string, score double",
+    )
+    p = str(tmp_path / "quotes.rdf")
+    n = write_alignment_rdf(acc, p)
+    assert n == 1
+    back = load_alignment_rdf(spark, p).collect()
+    assert back[0]["ent1"] == "http://a#O'Brien_Class"
+    assert back[0]["ent2"] == 'http://b#Say_"Hi"'

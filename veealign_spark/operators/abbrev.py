@@ -83,22 +83,47 @@ def resolve_abbreviations(
     )
 
 
+def _escape_replacement(col) -> F.Column:
+    """Escape '\\' and '$' for use as a regexp_replace REPLACEMENT
+    string (Java Matcher semantics: both are special there)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, "\\\\", "\\\\\\\\"), "\\$", "\\\\\\$"
+    )
+
+
 def apply_abbreviations(concepts: DataFrame, resolved: DataFrame) -> DataFrame:
     """F4: rewrite abbreviated names with their resolved expansions
-    (token-level replace), leaving unresolved names untouched."""
+    (token-level replace), leaving unresolved names untouched.
+
+    ALL of a concept's resolved acronyms apply to ONE output row (the
+    reference rewrites the single name in place): resolutions aggregate
+    per key (sorted for determinism) and fold over the name with one
+    regexp_replace per acronym; replacement text is escaped so an
+    expansion containing '$' or '\\' is taken literally."""
     keyed = concepts.withColumn("key", F.concat_ws("#", "src", "id"))
-    r = resolved.select(
-        "key", "abbr", norm_label_col(F.col("expansion")).alias("exp_norm")
+    r = resolved.groupBy("key").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("abbr"),
+                    norm_label_col(F.col("expansion")).alias("exp_norm"),
+                )
+            )
+        ).alias("repls")
     )
     out = keyed.join(r, "key", "left").withColumn(
         "resolved_name",
         F.when(
-            F.col("abbr").isNotNull(),
+            F.col("repls").isNotNull(),
             F.trim(
-                F.regexp_replace(
+                F.aggregate(
+                    "repls",
                     F.regexp_replace("id", "[_-]", " "),
-                    F.concat(F.lit(r"\b"), F.col("abbr"), F.lit(r"\b")),
-                    F.col("exp_norm"),
+                    lambda acc, x: F.regexp_replace(
+                        acc,
+                        F.concat(F.lit(r"\b"), x["abbr"], F.lit(r"\b")),
+                        _escape_replacement(x["exp_norm"]),
+                    ),
                 )
             ),
         ).otherwise(F.col("id")),

@@ -92,18 +92,63 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, n_bands: int = 8, shingle_n: int = 3
+    documents: DataFrame,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing a (band, minhash) bucket,
-    with the number of agreeing bands (est. Jaccard = n_agree/n_bands)."""
+    with the number of agreeing bands (est. Jaccard = n_agree/n_bands).
+
+    Hot-bucket guard (the 100 TB skew hazard: a mass-duplicate corpus
+    puts k docs in one bucket and the naive self-join emits k(k-1)/2
+    pairs on one task): buckets larger than `max_bucket_size` are
+    STAR-REDUCED — every member pairs with the bucket's min doc_id hub
+    only (k-1 pairs). Cluster recovery downstream (connected
+    components) is unchanged because the star spans the same component;
+    this keeps recall, unlike dropping hot buckets. The census is an
+    aggregation of the signature table itself, co-partitioned with the
+    join key, so the guard adds no extra shuffle of the big side (the
+    census can be corpus-bucket-sized — never broadcast it)."""
     sig = minhash_signatures(documents, n_bands, shingle_n)
-    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "minhash")
-    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "minhash")
-    return (
-        a.join(b, ["band", "minhash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_bands_agree"))
+    if max_bucket_size:
+        stats = (
+            sig.groupBy("band", "minhash")
+            .agg(
+                F.count(F.lit(1)).alias("bucket_n"),
+                F.min("doc_id").alias("hub"),
+            )
+        )
+        sig = sig.join(stats, ["band", "minhash"])
+        small = sig.filter(F.col("bucket_n") <= max_bucket_size)
+        a = small.select(F.col("doc_id").alias("doc_a"), "band", "minhash")
+        b = small.select(F.col("doc_id").alias("doc_b"), "band", "minhash")
+        pairs = a.join(b, ["band", "minhash"]).filter(F.col("doc_a") < F.col("doc_b"))
+        star = (
+            sig.filter(
+                (F.col("bucket_n") > max_bucket_size)
+                & (F.col("doc_id") != F.col("hub"))
+            )
+            .select(
+                F.col("hub").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                "band",
+                "minhash",
+            )
+        )
+        pairs = pairs.select("doc_a", "doc_b").unionByName(
+            star.select("doc_a", "doc_b")
+        )
+    else:
+        a = sig.select(F.col("doc_id").alias("doc_a"), "band", "minhash")
+        b = sig.select(F.col("doc_id").alias("doc_b"), "band", "minhash")
+        pairs = (
+            a.join(b, ["band", "minhash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_bands_agree")
     )
 
 

@@ -154,9 +154,17 @@ def _contextual_rep(
     emb: np.ndarray,           # [V, d]  row 0 all-zero
     p: KernelParams,
 ) -> np.ndarray:
-    node = emb[node_idx]                       # [B, d]
-    feat = emb[feat_idx]                       # [B, T, P, L, d]
+    return _contextual_rep_emb(emb[node_idx], emb[feat_idx], p)
 
+
+def _contextual_rep_emb(
+    node: np.ndarray,          # [B, d]
+    feat: np.ndarray,          # [B, T, P, L, d]  pad/UNK = zero vec
+    p: KernelParams,
+) -> np.ndarray:
+    """Embedding-input core of K2-K8: identical math whether the
+    vectors were gathered from a broadcast matrix (index path) or
+    pre-joined onto the rows (distributed-vocabulary path)."""
     # K2: path attention logits = sum over tokens of node . token
     path_logits = np.einsum("bd,btpld->btpl", node, feat).sum(axis=-1)  # [B,T,P]
 
@@ -200,6 +208,21 @@ def score_concept_pairs(
     return _cos(r0, r1)
 
 
+def score_concept_pairs_emb(
+    node_vecs: np.ndarray,  # [B, 2, d] name-embedding vectors
+    feat_vecs: np.ndarray,  # [B, 2, T, P, L, d] pre-joined context vectors
+    p: KernelParams,
+) -> np.ndarray:
+    """Siamese scores over pre-joined vectors — the distributed-
+    vocabulary path: no broadcast matrix, identical math (and bit-
+    identical output) to score_concept_pairs."""
+    if len(node_vecs) == 0:
+        return np.zeros(0, dtype=np.float64)
+    r0 = _contextual_rep_emb(node_vecs[:, 0], feat_vecs[:, 0], p)
+    r1 = _contextual_rep_emb(node_vecs[:, 1], feat_vecs[:, 1], p)
+    return _cos(r0, r1)
+
+
 def score_property_pairs(
     prop_features: np.ndarray,  # [B, 2, 3, M] int indices (self/domains/ranges)
     emb: np.ndarray,
@@ -210,6 +233,16 @@ def score_property_pairs(
     if len(prop_features) == 0:
         return np.zeros(0, dtype=np.float64)
     agg = emb[prop_features].sum(axis=-2)  # [B, 2, 3, d]
+    return score_property_pairs_emb(agg, p)
+
+
+def score_property_pairs_emb(
+    agg: np.ndarray,  # [B, 2, 3, d] sum-pooled (self, domains, ranges)
+    p: KernelParams,
+) -> np.ndarray:
+    """K9 over pre-pooled slot vectors (distributed-vocabulary path)."""
+    if len(agg) == 0:
+        return np.zeros(0, dtype=np.float64)
     w_r = 1.0 - p.prop_weight - p.domain_weight
     return (
         p.prop_weight * _cos(agg[:, 0, 0], agg[:, 1, 0])

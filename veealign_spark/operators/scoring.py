@@ -82,22 +82,61 @@ def _substitute_labels(
     )
 
 
+def scalable_rank(
+    df: DataFrame, key: str = "key", start: int = 1, idx_col: str = "idx"
+) -> DataFrame:
+    """Deterministic dense global rank by `key` WITHOUT a single-
+    partition exchange (the Window.orderBy scale-killer): range-
+    repartition on the key, per-partition row_number, then add the
+    cumulative partition-size offset (tiny driver-side census — one row
+    per partition, never per key). Total order over a range partition
+    is the global sort order, so the rank equals row_number() over a
+    global sort, at shuffle cost O(n/p) per task."""
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 2)
+    ranked = (
+        df.repartitionByRange(n, key)
+        .sortWithinPartitions(key)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("__pid").orderBy(key)),
+        )
+        .localCheckpoint(eager=True)  # pin partition ids across reuse
+    )
+    counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    offsets, acc = [], start - 1
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], acc))
+        acc += r["c"]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    return (
+        ranked.join(F.broadcast(off_df), "__pid")
+        .withColumn(idx_col, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 def build_embeddings_table(
-    spark: SparkSession, triples: DataFrame, dim: int, concepts: DataFrame | None = None
+    spark: SparkSession,
+    triples: DataFrame,
+    dim: int,
+    concepts: DataFrame | None = None,
+    label_map: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed embeddings dim table (EMBEDDINGS schema): normalized
     term -> (idx, vec). Deterministic: idx assigned by sorted term rank
-    (idx 0 reserved for the all-zero <UNK>/pad row — the row-0-zeros
-    invariant, data_preprocessing.py:201,245)."""
+    via the two-level scalable_rank (no single-partition sort); idx 0
+    stays reserved for the all-zero <UNK>/pad row — the row-0-zeros
+    invariant, data_preprocessing.py:201,245."""
     embed = embed_udf_factory(dim)
     norm = (
-        term_universe(triples, concepts)
+        term_universe(triples, concepts, label_map)
         .select(norm_label_col(F.col("term")).alias("key"))
         .filter(F.col("key") != "")
         .distinct()
     )
-    w = F.row_number().over(Window.orderBy("key"))
-    return norm.withColumn("idx", w.cast("long")).withColumn("vec", embed(F.col("key")))
+    return scalable_rank(norm, "key").withColumn("vec", embed(F.col("key")))
 
 
 class EmbBroadcast:
@@ -300,23 +339,10 @@ def emb_index_df(spark: SparkSession, emb_bc: EmbBroadcast) -> DataFrame:
     return spark.createDataFrame(items, "norm string, idx long")
 
 
-def encode_features(
-    features: DataFrame,
-    emb_idx: DataFrame,
-    max_types: int = 4,
-    max_paths: int = 2,
-    max_pathlen: int = 4,
-    label_map: DataFrame | None = None,
-) -> DataFrame:
-    """(key, node_idx, fidx) with fidx a dense array<long> of length
-    T*P*L laid out [t][p][l] (row-major), pad/UNK = 0.
-
-    All string normalization + index resolution happens JVM-side via
-    norm_label_col + a broadcast hash join; the ragged->dense scatter
-    uses a position map (map_from_entries + sequence fill).
-    """
-    T, P, L = max_types, max_paths, max_pathlen
-    flat = F.flatten(
+def _flat_feature_positions(P: int, L: int):
+    """Ragged features -> array<struct<pos,tok>> with pos the row-major
+    [t][p][l] position (shared by the index and pre-joined encoders)."""
+    return F.flatten(
         F.transform(
             F.col("features"),
             lambda slot, t: F.flatten(
@@ -333,6 +359,25 @@ def encode_features(
             ),
         )
     )
+
+
+def encode_features(
+    features: DataFrame,
+    emb_idx: DataFrame,
+    max_types: int = 4,
+    max_paths: int = 2,
+    max_pathlen: int = 4,
+    label_map: DataFrame | None = None,
+) -> DataFrame:
+    """(key, node_idx, fidx) with fidx a dense array<long> of length
+    T*P*L laid out [t][p][l] (row-major), pad/UNK = 0.
+
+    All string normalization + index resolution happens JVM-side via
+    norm_label_col + a broadcast hash join; the ragged->dense scatter
+    uses a position map (map_from_entries + sequence fill).
+    """
+    T, P, L = max_types, max_paths, max_pathlen
+    flat = _flat_feature_positions(P, L)
     exploded = _substitute_labels(
         features.select(
             "src",
@@ -659,5 +704,357 @@ def refresh_embeddings(
         fresh = norm_terms.join(base.select("key"), "key", "left_anti")
     fresh_emb = fresh.withColumn("vec", embed(F.col("key")))
     merged = fresh_emb if base is None else base.unionByName(fresh_emb)
-    w = Window.orderBy("key")
-    return merged.withColumn("idx", F.row_number().over(w).cast("long"))
+    return scalable_rank(merged, "key")
+
+
+# ---------------------------------------------------------------------------
+# Pre-joined-vector path: the distributed-vocabulary layout. When the
+# term universe is too large to broadcast as an (indexer, matrix) pair
+# (billions of distinct terms at 10^12-turn scale would OOM the driver),
+# embedding vectors are JOINED onto the encoded features/candidates from
+# the distributed dim table (build_embeddings_table) instead. No driver
+# collect, no broadcast; the shuffle carries the vectors. Per-row payload
+# is d/1 times heavier than the index path, so the broadcast path stays
+# the default below PipelineConfig.vocab_broadcast_threshold.
+# Output equals the broadcast path to within ~1 ulp (same float64
+# vectors, same per-row math; BLAS tiling under different Arrow batch
+# shapes can flip the last bit) — asserted by tests/test_prejoined.py.
+# ---------------------------------------------------------------------------
+
+
+def _zero_vec(dim: int):
+    return F.array_repeat(F.lit(0.0), dim)
+
+
+def _emb_vecs(emb_table: DataFrame) -> DataFrame:
+    return emb_table.select(F.col("key").alias("norm"), "vec")
+
+
+def encode_node_vec(
+    keys_df: DataFrame,
+    emb_table: DataFrame,
+    dim: int,
+    label_map: DataFrame | None = None,
+) -> DataFrame:
+    """(key, node_vec) for candidate entities — direct-route lookups
+    resolved by JOIN against the distributed dim table (zero vec when
+    the name is out-of-vocabulary, matching matrix row 0)."""
+    local = F.substring_index(F.col("key"), "#", -1)
+    src = F.substring_index(F.col("key"), "#", 1)
+    return (
+        _substitute_labels(keys_df.select("key"), src, local, label_map)
+        .select("key", norm_label_col(F.col("__tok")).alias("norm"))
+        .join(_emb_vecs(emb_table), "norm", "left")
+        .select("key", F.coalesce("vec", _zero_vec(dim)).alias("node_vec"))
+    )
+
+
+def encode_features_vec(
+    features: DataFrame,
+    emb_table: DataFrame,
+    max_types: int = 4,
+    max_paths: int = 2,
+    max_pathlen: int = 4,
+    dim: int = 32,
+    label_map: DataFrame | None = None,
+) -> DataFrame:
+    """(key, node_vec, fvec) with fvec a dense array<double> of length
+    T*P*L*dim: the [t][p][l] position grid of encode_features with the
+    embedding VECTOR pre-joined at each position (zero vec = pad/UNK).
+    The scorer reshapes to [B, T, P, L, d] — the same vectors the
+    broadcast path gathers via mat[fidx]."""
+    T, P, L = max_types, max_paths, max_pathlen
+    flat = _flat_feature_positions(P, L)
+    exploded = _substitute_labels(
+        features.select(
+            "src",
+            F.concat_ws("#", "src", "entity").alias("key"),
+            F.col("entity").alias("ent_local"),
+            F.explode_outer(flat).alias("pt"),
+        ),
+        F.col("src"),
+        F.col("pt.tok"),
+        label_map,
+    ).select(
+        "key",
+        "ent_local",
+        F.col("__src").alias("e_src"),
+        F.col("pt.pos").alias("pos"),
+        norm_label_col(F.col("__tok")).alias("norm"),
+    )
+    joined = exploded.join(_emb_vecs(emb_table), "norm", "left").select(
+        "key",
+        "ent_local",
+        "e_src",
+        "pos",
+        F.coalesce("vec", _zero_vec(dim)).alias("vec"),
+    )
+    dense = (
+        joined.groupBy("key", "ent_local", "e_src")
+        .agg(
+            F.map_from_entries(
+                F.array_agg(
+                    F.when(
+                        F.col("pos").isNotNull(),
+                        F.struct(F.col("pos"), F.col("vec")),
+                    )
+                ).cast("array<struct<pos:int,vec:array<double>>>")
+            ).alias("m")
+        )
+        .select(
+            "key",
+            "ent_local",
+            "e_src",
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(T * P * L - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at("m", i.cast("int")), _zero_vec(dim)
+                    ),
+                )
+            ).alias("fvec"),
+        )
+    )
+    node = _substitute_labels(
+        dense, F.col("e_src"), F.col("ent_local"), label_map
+    ).select(
+        "key", "fvec", norm_label_col(F.col("__tok")).alias("norm")
+    ).join(_emb_vecs(emb_table), "norm", "left")
+    return node.select(
+        "key", F.coalesce("vec", _zero_vec(dim)).alias("node_vec"), "fvec"
+    )
+
+
+def score_concept_candidates_prejoined(
+    candidates: DataFrame,
+    enc_features_vec: DataFrame,
+    emb_table: DataFrame,
+    params: KernelParams,
+    max_types: int = 4,
+    dim: int = 32,
+    label_map: DataFrame | None = None,
+) -> DataFrame:
+    """Concept scorer with NO broadcast state: node/context vectors are
+    pre-joined columns; the UDF is pure numpy over Arrow batches."""
+    cand_keys = (
+        candidates.select(F.col("ent1").alias("key"))
+        .unionByName(candidates.select(F.col("ent2").alias("key")))
+        .distinct()
+    )
+    nodes = encode_node_vec(cand_keys, emb_table, dim, label_map)
+    f = enc_features_vec.select("key", "node_vec", "fvec")
+    j = (
+        candidates.join(
+            f.select(
+                F.col("key").alias("ent1"),
+                F.col("node_vec").alias("n1"),
+                F.col("fvec").alias("f1"),
+            ),
+            "ent1",
+            "left",
+        )
+        .join(
+            f.select(
+                F.col("key").alias("ent2"),
+                F.col("node_vec").alias("n2"),
+                F.col("fvec").alias("f2"),
+            ),
+            "ent2",
+            "left",
+        )
+        .join(
+            nodes.select(F.col("key").alias("ent1"), F.col("node_vec").alias("d1")),
+            "ent1",
+            "left",
+        )
+        .join(
+            nodes.select(F.col("key").alias("ent2"), F.col("node_vec").alias("d2")),
+            "ent2",
+            "left",
+        )
+        .select("ent1", "ent2", "n1", "n2", "f1", "f2", "d1", "d2")
+    )
+    p_dict = params.to_dict()
+    T, P, L, D = max_types, params.max_paths, params.max_pathlen, dim
+
+    def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = KernelParams.from_dict(p_dict)
+        for pdf in batches:
+            B = len(pdf)
+            if B == 0:
+                continue
+            miss = pdf["f1"].isna().to_numpy() | pdf["f2"].isna().to_numpy()
+            scores = np.zeros(B, dtype=np.float64)
+            if (~miss).any():
+                sub = pdf[~miss]
+                f1 = np.vstack(sub["f1"].to_numpy()).reshape(-1, T, P, L, D)
+                f2 = np.vstack(sub["f2"].to_numpy()).reshape(-1, T, P, L, D)
+                n1 = np.vstack(sub["n1"].to_numpy())
+                n2 = np.vstack(sub["n2"].to_numpy())
+                scores[~miss] = kernel_np.score_concept_pairs_emb(
+                    np.stack([n1, n2], axis=1), np.stack([f1, f2], axis=1), p
+                )
+            if miss.any():
+                sub = pdf[miss]
+                zero = np.zeros(D, dtype=np.float64)
+                v1 = np.vstack([zero if v is None else v for v in sub["d1"]])
+                v2 = np.vstack([zero if v is None else v for v in sub["d2"]])
+                scores[miss] = kernel_np.direct_cosine(v1, v2)
+            yield pd.DataFrame(
+                {"ent1": pdf["ent1"], "ent2": pdf["ent2"], "score": scores}
+            )
+
+    return j.mapInPandas(score_fn, "ent1 string, ent2 string, score double")
+
+
+def encode_prop_contexts_vec(
+    prop_contexts: DataFrame,
+    emb_table: DataFrame,
+    max_prop_len: int = 16,
+    dim: int = 32,
+    label_map: DataFrame | None = None,
+) -> DataFrame:
+    """(key, self_vec, dom_vec, rng_vec) with dom/rng dense M*dim
+    arrays in slot order — the vector twin of encode_prop_contexts."""
+    M = max_prop_len
+    base = prop_contexts.select(
+        "src",
+        F.concat_ws("#", "src", "prop").alias("key"),
+        F.col("prop").alias("prop_local"),
+        F.slice("domains", 1, M).alias("domains"),
+        F.slice("ranges", 1, M).alias("ranges"),
+    )
+    tagged = F.concat(
+        F.array(F.struct(F.lit(-1).alias("pos"), F.col("prop_local").alias("tok"))),
+        F.transform(
+            F.col("domains"),
+            lambda tok, i: F.struct(i.alias("pos"), tok.alias("tok")),
+        ),
+        F.transform(
+            F.col("ranges"),
+            lambda tok, i: F.struct((i + M).alias("pos"), tok.alias("tok")),
+        ),
+    )
+    ex = _substitute_labels(
+        base.select("src", "key", F.explode(tagged).alias("pt")),
+        F.col("src"),
+        F.col("pt.tok"),
+        label_map,
+    ).select(
+        "key", F.col("pt.pos").alias("pos"), norm_label_col(F.col("__tok")).alias("norm")
+    )
+    jx = ex.join(_emb_vecs(emb_table), "norm", "left").select(
+        "key", "pos", F.coalesce("vec", _zero_vec(dim)).alias("vec")
+    )
+    dense = jx.groupBy("key").agg(
+        F.map_from_entries(
+            F.array_agg(F.struct(F.col("pos"), F.col("vec"))).cast(
+                "array<struct<pos:int,vec:array<double>>>"
+            )
+        ).alias("m")
+    )
+    fill = lambda lo: F.flatten(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(lo), F.lit(lo + M - 1)),
+            lambda i: F.coalesce(F.element_at("m", i.cast("int")), _zero_vec(dim)),
+        )
+    )
+    return dense.select(
+        "key",
+        F.coalesce(F.element_at("m", -1), _zero_vec(dim)).alias("self_vec"),
+        fill(0).alias("dom_vec"),
+        fill(M).alias("rng_vec"),
+    )
+
+
+def score_prop_candidates_prejoined(
+    candidates: DataFrame,
+    enc_props_vec: DataFrame,
+    emb_table: DataFrame,
+    params: KernelParams,
+    max_prop_len: int = 16,
+    dim: int = 32,
+    label_map: DataFrame | None = None,
+) -> DataFrame:
+    """Property scorer (K9) over pre-joined vectors; missing-context
+    pairs take the direct-cosine route like the index path."""
+    M = max_prop_len
+    cand_keys = (
+        candidates.select(F.col("ent1").alias("key"))
+        .unionByName(candidates.select(F.col("ent2").alias("key")))
+        .distinct()
+    )
+    nodes = encode_node_vec(cand_keys, emb_table, dim, label_map)
+    j = (
+        candidates.join(
+            enc_props_vec.select(
+                F.col("key").alias("ent1"),
+                F.col("self_vec").alias("s1"),
+                F.col("dom_vec").alias("dm1"),
+                F.col("rng_vec").alias("r1"),
+            ),
+            "ent1",
+            "left",
+        )
+        .join(
+            enc_props_vec.select(
+                F.col("key").alias("ent2"),
+                F.col("self_vec").alias("s2"),
+                F.col("dom_vec").alias("dm2"),
+                F.col("rng_vec").alias("r2"),
+            ),
+            "ent2",
+            "left",
+        )
+        .join(
+            nodes.select(F.col("key").alias("ent1"), F.col("node_vec").alias("d1")),
+            "ent1",
+            "left",
+        )
+        .join(
+            nodes.select(F.col("key").alias("ent2"), F.col("node_vec").alias("d2")),
+            "ent2",
+            "left",
+        )
+        .select("ent1", "ent2", "s1", "dm1", "r1", "s2", "dm2", "r2", "d1", "d2")
+    )
+    p_dict = params.to_dict()
+
+    def score_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = KernelParams.from_dict(p_dict)
+        D = None
+        for pdf in batches:
+            B = len(pdf)
+            if B == 0:
+                continue
+            miss = pdf["s1"].isna().to_numpy() | pdf["s2"].isna().to_numpy()
+            scores = np.zeros(B, dtype=np.float64)
+            if (~miss).any():
+                sub = pdf[~miss]
+                if D is None:
+                    D = len(sub["s1"].iloc[0])
+                n = len(sub)
+                feats = np.zeros((n, 2, 3, M, D), dtype=np.float64)
+                for side, (s, dm, r) in enumerate(
+                    [("s1", "dm1", "r1"), ("s2", "dm2", "r2")]
+                ):
+                    feats[:, side, 0, 0, :] = np.vstack(sub[s].to_numpy())
+                    feats[:, side, 1] = np.vstack(sub[dm].to_numpy()).reshape(n, M, D)
+                    feats[:, side, 2] = np.vstack(sub[r].to_numpy()).reshape(n, M, D)
+                # sum over M in position order — identical to the index
+                # path's emb[prop_features].sum(axis=-2)
+                scores[~miss] = kernel_np.score_property_pairs_emb(
+                    feats.sum(axis=-2), p
+                )
+            if miss.any():
+                sub = pdf[miss]
+                d0 = len(sub["d1"].iloc[0]) if sub["d1"].iloc[0] is not None else 32
+                zero = np.zeros(d0, dtype=np.float64)
+                v1 = np.vstack([zero if v is None else v for v in sub["d1"]])
+                v2 = np.vstack([zero if v is None else v for v in sub["d2"]])
+                scores[miss] = kernel_np.direct_cosine(v1, v2)
+            yield pd.DataFrame(
+                {"ent1": pdf["ent1"], "ent2": pdf["ent2"], "score": scores}
+            )
+
+    return j.mapInPandas(score_fn, "ent1 string, ent2 string, score double")

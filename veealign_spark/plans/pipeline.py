@@ -47,6 +47,13 @@ class PipelineConfig:
     extractor: str = "jvm"  # "jvm" | "pandas"
     params_seed: int = 7
     score_partitions: int | None = None
+    # "broadcast": (indexer, matrix) rides a SparkContext broadcast —
+    # fastest per row, bounded by driver/executor memory.
+    # "prejoined": vectors JOIN onto features/candidates from the
+    # distributed dim table — no driver collect, unbounded vocabulary.
+    # "auto": broadcast below vocab_broadcast_threshold distinct terms.
+    vector_mode: str = "broadcast"  # "broadcast" | "prejoined" | "auto"
+    vocab_broadcast_threshold: int = 2_000_000
 
     def kernel_params(self) -> KernelParams:
         p = default_params(
@@ -212,12 +219,26 @@ def run_pipeline(
     if props is None:
         props = props_from_triples(triples)
 
-    # embeddings: distributed dim table -> broadcast (indexer, matrix)
-    terms = [
-        r["term"]
-        for r in scoring.term_universe(triples, concepts, label_map).collect()
-    ]
-    emb_bc = scoring.EmbBroadcast.from_terms(spark, terms, cfg.emb_dim)
+    # embedding layout: broadcast (indexer, matrix) vs pre-joined
+    # distributed dim table (see PipelineConfig.vector_mode)
+    vector_mode = cfg.vector_mode
+    if vector_mode == "auto":
+        n_terms = scoring.term_universe(triples, concepts, label_map).count()
+        vector_mode = (
+            "broadcast" if n_terms <= cfg.vocab_broadcast_threshold else "prejoined"
+        )
+    emb_bc = None
+    emb_table = None
+    if vector_mode == "broadcast":
+        terms = [
+            r["term"]
+            for r in scoring.term_universe(triples, concepts, label_map).collect()
+        ]
+        emb_bc = scoring.EmbBroadcast.from_terms(spark, terms, cfg.emb_dim)
+    else:
+        emb_table = scoring.build_embeddings_table(
+            spark, triples, cfg.emb_dim, concepts, label_map
+        )
 
     # candidate generation: ALL source pairs in one plan node — pairs
     # are data (self-join on src1 < src2), not per-pair Python unions,
@@ -265,25 +286,43 @@ def run_pipeline(
     prop_cand = prop_cand.repartition(max(n_score // 4, 2))
 
     # JVM-side embedify: features/prop contexts become fixed-shape
-    # int64 index arrays before the Arrow boundary (strings never
-    # reach Python — the 100 TB layout; see scoring.py fast path)
-    emb_idx = scoring.emb_index_df(spark, emb_bc)
-    # entity-universe-sized dim tables, referenced twice each in the
-    # scoring joins — materialize once
-    enc_feats = scoring.encode_features(
-        features, emb_idx, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
-        label_map=label_map,
-    ).localCheckpoint(eager=True)
-    enc_props = scoring.encode_prop_contexts(
-        prop_ctx, emb_idx, label_map=label_map
-    ).localCheckpoint(eager=True)
-    scores_c = scoring.score_concept_candidates_fast(
-        candidates_df, enc_feats, emb_bc, params, cfg.max_types,
-        label_map=label_map,
-    ).withColumn("is_prop", F.lit(False))
-    scores_p = scoring.score_prop_candidates_fast(
-        prop_cand, enc_props, emb_bc, params, label_map=label_map
-    ).withColumn("is_prop", F.lit(True))
+    # arrays before the Arrow boundary (strings never reach Python —
+    # the 100 TB layout): int64 index tensors on the broadcast path,
+    # pre-joined float64 vectors on the distributed-vocabulary path.
+    # Entity-universe-sized dim tables, referenced twice each in the
+    # scoring joins — materialize once.
+    if vector_mode == "broadcast":
+        emb_idx = scoring.emb_index_df(spark, emb_bc)
+        enc_feats = scoring.encode_features(
+            features, emb_idx, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
+            label_map=label_map,
+        ).localCheckpoint(eager=True)
+        enc_props = scoring.encode_prop_contexts(
+            prop_ctx, emb_idx, label_map=label_map
+        ).localCheckpoint(eager=True)
+        scores_c = scoring.score_concept_candidates_fast(
+            candidates_df, enc_feats, emb_bc, params, cfg.max_types,
+            label_map=label_map,
+        ).withColumn("is_prop", F.lit(False))
+        scores_p = scoring.score_prop_candidates_fast(
+            prop_cand, enc_props, emb_bc, params, label_map=label_map
+        ).withColumn("is_prop", F.lit(True))
+    else:
+        enc_feats = scoring.encode_features_vec(
+            features, emb_table, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
+            dim=cfg.emb_dim, label_map=label_map,
+        ).localCheckpoint(eager=True)
+        enc_props = scoring.encode_prop_contexts_vec(
+            prop_ctx, emb_table, dim=cfg.emb_dim, label_map=label_map
+        ).localCheckpoint(eager=True)
+        scores_c = scoring.score_concept_candidates_prejoined(
+            candidates_df, enc_feats, emb_table, params, cfg.max_types,
+            dim=cfg.emb_dim, label_map=label_map,
+        ).withColumn("is_prop", F.lit(False))
+        scores_p = scoring.score_prop_candidates_prejoined(
+            prop_cand, enc_props, emb_table, params,
+            dim=cfg.emb_dim, label_map=label_map,
+        ).withColumn("is_prop", F.lit(True))
     scores = ledger.stage("scores", lambda: scores_c.unionByName(scores_p))
 
     threshold = params.threshold

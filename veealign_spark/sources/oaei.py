@@ -42,6 +42,14 @@ def write_alignment_rdf(
         .orderBy("ent1", "ent2")
         .collect()
     )
+    # attribute values sit in single quotes: saxutils.escape does NOT
+    # escape quotes by default, so pass them explicitly or an IRI with
+    # an apostrophe would emit malformed RDF/XML
+    quotes = {"'": "&apos;", '"': "&quot;"}
+
+    def attr(v: str) -> str:
+        return escape(v, quotes)
+
     with open(path, "w", encoding="utf-8") as f:
         f.write(HEADER)
         if onto1:
@@ -51,8 +59,8 @@ def write_alignment_rdf(
         for r in rows:
             f.write(
                 "<map>\n<Cell>\n"
-                f"<entity1 rdf:resource='{escape(r['ent1'])}'/>\n"
-                f"<entity2 rdf:resource='{escape(r['ent2'])}'/>\n"
+                f"<entity1 rdf:resource='{attr(r['ent1'])}'/>\n"
+                f"<entity2 rdf:resource='{attr(r['ent2'])}'/>\n"
                 f"<measure rdf:datatype='http://www.w3.org/2001/XMLSchema#float'>"
                 f"{round(float(r['score']), 3)}</measure>\n"
                 "<relation>=</relation>\n"
