@@ -345,6 +345,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann.lsh_topk(emb, dim=64, k=5, n_planes=8)
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-table + hamming-1 multi-probe LSH top-k — the recall knob
+    over single-table LSH (recall/cost contract pinned in pytest; no
+    SQL oracle, seeded hyperplanes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.lsh_topk_multiprobe(emb, dim=64, k=5, n_planes=8, n_tables=4)
+
+
 def q_text_token_stats(spark, sf_dir):
     return textstats.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -568,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": q_ann_topk,
         "ann_cosine_neardup": q_ann_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_topk_multiprobe": q_ann_lsh_multiprobe,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

@@ -41,8 +41,10 @@ def main() -> None:
         "",
         f"Dataset: `{DATASET}` — every ontology pair with a gold alignment file.",
         "One multi-source pipeline run (pairs-as-data); global threshold tuned",
-        "on the union of golds by the single-pass P/R sweep (A9); symmetric-best",
-        "1:1 resolution applied. Kernel weights: frozen seeded stub (no published",
+        "on the union of golds by the single-pass P/R sweep (A9), computed over",
+        "the evaluated source pairs only; symmetric-best 1:1 resolution applied",
+        "per source pair (one partner per OTHER ontology, matching per-pair",
+        "alignment semantics). Kernel weights: frozen seeded stub (no published",
         "checkpoints in the reference repo), embeddings: deterministic hash stub",
         "standing in for USE — numbers measure the engine, not the trained model.",
         "",

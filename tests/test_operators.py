@@ -256,3 +256,42 @@ def test_distributed_cc_pointer_jumping_long_chain(spark):
 
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         _distributed_cc(edges, max_iter=2)
+
+
+def test_lsh_multiprobe_recall_vs_cost(spark):
+    """Recall/cost contract for the multi-probe LSH ANN: on a clustered
+    corpus (where near neighbours exist — the regime ANN guarantees
+    apply to), recall@5 >= 0.9 vs the exact brute-force oracle at
+    <= 20% of the brute-force candidate-pair count."""
+    import numpy as np
+
+    from veealign_spark.operators import ann
+
+    rng = np.random.default_rng(5)
+    dim, n_clusters, per = 32, 25, 20
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for _ in range(per):
+            v = centers[ci] + 0.10 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.cosine_topk(emb, emb, k=5).collect()
+    }
+    cand = ann.lsh_candidates_multiprobe(emb, dim, n_planes=10, n_tables=8)
+    n_cand = cand.count()
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.lsh_topk_multiprobe(emb, dim, k=5, n_planes=10, n_tables=8).collect()
+    }
+    n = vid
+    brute = n * (n - 1)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+    assert n_cand <= 0.2 * brute, (n_cand, brute)

@@ -115,6 +115,91 @@ def lsh_hyperplane_buckets(
     return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def lsh_candidates_multiprobe(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    probe_bits: int | None = None,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate (query_id, neighbor_id, qv, cv) pairs via multi-table,
+    multi-probe hyperplane LSH.
+
+    Two recall knobs (the round-1 review gap):
+    - `n_tables` independent plane sets (seed+t): a true neighbour is
+      found if ANY table buckets it with the query — recall
+      1-(1-p^b)^L for per-plane collision prob p.
+    - hamming-distance-1 probing: each query additionally probes the
+      `probe_bits` buckets that differ in one sign bit (neighbours just
+      across one hyperplane), at probe_bits x candidate cost within a
+      table instead of a whole extra table.
+
+    All bucketing is JVM expressions; candidates are deduplicated
+    across tables/probes BEFORE cosine scoring so each pair is scored
+    once. The recall/cost contract (>=0.9 recall at k=5, <=20% of the
+    brute-force pair count on a clustered corpus) is pinned by
+    tests/test_operators.py::test_lsh_multiprobe_recall_vs_cost."""
+    pb = n_planes if probe_bits is None else probe_bits
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    home = None
+    for t in range(n_tables):
+        b = lsh_hyperplane_buckets(e, dim, n_planes, seed + t, "id", "v").select(
+            "id", F.lit(t).alias("tbl"), "bucket"
+        )
+        home = b if home is None else home.unionByName(b)
+    probes = F.explode(
+        F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(pb)],
+        )
+    )
+    q = home.select(F.col("id").alias("query_id"), "tbl", probes.alias("bucket"))
+    c = home.select(F.col("id").alias("neighbor_id"), "tbl", "bucket")
+    pairs = (
+        q.join(c, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    return (
+        pairs.join(e.select(F.col("id").alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(e.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv")), "neighbor_id")
+    )
+
+
+def lsh_topk_multiprobe(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    probe_bits: int | None = None,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k with the multi-table / multi-probe candidate
+    generator; exact cosine within candidates."""
+    cand = lsh_candidates_multiprobe(
+        embeddings, dim, n_planes, n_tables, probe_bits, seed, id_col, vec_col
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     dim: int,

@@ -186,7 +186,11 @@ def materialize_kg(
     return {"kg_triples": canon, "kg_entities": kg_entities, "kg_edges": kg_edges}
 
 
-def one_to_one_filter(scores: DataFrame, threshold: float | None = None) -> DataFrame:
+def one_to_one_filter(
+    scores: DataFrame,
+    threshold: float | None = None,
+    per_source_pair: bool = False,
+) -> DataFrame:
     """Symmetric-best one-to-one alignment resolution.
 
     The reference relies on the tuned threshold for one-to-one-ness
@@ -197,21 +201,36 @@ def one_to_one_filter(scores: DataFrame, threshold: float | None = None) -> Data
     of its endpoints (symmetric best match) — every kept pair would
     also be kept by greedy, so precision only improves. Ties break by
     the partner id for determinism.
+
+    per_source_pair=True scopes the argmax to each (source of ent1,
+    source of ent2) pair — the reference aligns ONE ontology pair at a
+    time, so in a multi-source fusion run an entity may keep one
+    partner PER other source, not one partner globally (a global
+    argmax silently discards ~ (S-2)/(S-1) of the true matches when S
+    sources all align with each other).
     """
     from pyspark.sql import Window
 
     s = scores
     if threshold is not None:
         s = s.filter(F.col("score") >= threshold)
-    w1 = Window.partitionBy("ent1").orderBy(
+    p1 = ["ent1"]
+    p2 = ["ent2"]
+    if per_source_pair:
+        s = s.withColumn("__s1", F.substring_index("ent1", "#", 1)).withColumn(
+            "__s2", F.substring_index("ent2", "#", 1)
+        )
+        p1 = ["ent1", "__s2"]
+        p2 = ["ent2", "__s1"]
+    w1 = Window.partitionBy(*p1).orderBy(
         F.col("score").desc(), F.col("ent2").asc()
     )
-    w2 = Window.partitionBy("ent2").orderBy(
+    w2 = Window.partitionBy(*p2).orderBy(
         F.col("score").desc(), F.col("ent1").asc()
     )
     return (
         s.withColumn("r1", F.row_number().over(w1))
         .withColumn("r2", F.row_number().over(w2))
         .filter((F.col("r1") == 1) & (F.col("r2") == 1))
-        .drop("r1", "r2")
+        .drop("r1", "r2", "__s1", "__s2")
     )

@@ -54,6 +54,11 @@ class PipelineConfig:
     # "auto": broadcast below vocab_broadcast_threshold distinct terms.
     vector_mode: str = "broadcast"  # "broadcast" | "prejoined" | "auto"
     vocab_broadcast_threshold: int = 2_000_000
+    # "seeded" (fixture-pinned gaussian projection) | "identity"
+    # (residual rep = node + ctx_gain*context — the untrained default
+    # for real inputs; see kernel_np.default_params)
+    kernel_init: str = "seeded"
+    ctx_gain: float = 0.3
 
     def kernel_params(self) -> KernelParams:
         p = default_params(
@@ -63,6 +68,8 @@ class PipelineConfig:
             max_pathlen=self.max_pathlen,
             threshold=self.threshold,
             seed=self.params_seed,
+            init=self.kernel_init,
+            ctx_gain=self.ctx_gain,
         )
         p.weighted_sum = self.weighted_sum
         return p
