@@ -513,6 +513,64 @@ def q_t3_oversample(spark, sf_dir):
     )
 
 
+def q_p5_holdout_filter(spark, sf_dir):
+    """P5: ontology-pair holdout — drop candidate pairs whose source
+    pair is held out (train.py:349-350). Pairs built from the testdata
+    gold; holdout = the nation pair."""
+    from veealign_spark.operators import sampling
+
+    pairs = _testdata_gold(spark, sf_dir)
+    holdout = spark.createDataFrame([("src1", "src2")], "src1 string, src2 string")
+    kept = sampling.holdout_filter(pairs, holdout)
+    # also prove the positive case: nothing survives holding out the
+    # only source pair; count both branches
+    empty_n = kept.count()
+    keep_all = sampling.holdout_filter(
+        pairs, spark.createDataFrame([("sx", "sy")], "src1 string, src2 string")
+    )
+    return keep_all.select("ent1", "ent2").withColumn(
+        "n_after_full_holdout", F.lit(empty_n).cast("long")
+    )
+
+
+def q_t2_limit_negatives(spark, sf_dir):
+    """T2: cap negatives at max_false deterministically (md5-shuffle
+    rank replaces np.random.shuffle+slice, train.py:537-541)."""
+    from veealign_spark.operators import sampling
+
+    orders = _t(spark, sf_dir, "orders")
+    labeled = orders.select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        (F.col("o_orderstatus") == "P").alias("y"),
+    )
+    out = sampling.limit_negatives(labeled, max_false=500, key_cols=["k"])
+    return out.groupBy("y").agg(
+        F.count(F.lit(1)).alias("n"),
+        # value-checkable: which keys were kept is deterministic
+        F.md5(F.array_join(F.array_sort(F.collect_list("k")), ",")).alias("kept_hash"),
+    )
+
+
+def q_t4_downsample(spark, sf_dir):
+    """T4: deterministic md5-bucket down-sampling (train.py:549-552)."""
+    from veealign_spark.operators import sampling
+
+    events = _t(spark, sf_dir, "events")
+    out = sampling.downsample(events, 0.25, ["event_id"])
+    return out.select(F.col("event_id").cast("long").alias("event_id"))
+
+
+def q_t5_shuffled_rank(spark, sf_dir):
+    """T5: reproducible shuffle order as an explicit rank column
+    (train.py:560-566; Spark rows are unordered, so order is data)."""
+    from veealign_spark.operators import sampling
+
+    region = _t(spark, sf_dir, "region")
+    return sampling.shuffled_rank(
+        region.select(F.col("r_name").alias("name")), ["name"]
+    )
+
+
 def q_a10_lang_mode(spark, sf_dir):
     """A10: majority vote (mode) per group — dominant lang per source
     (ontology.py:58-62 semantics), ties broken lexicographically."""
@@ -563,6 +621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_label_join": q_j3_label_join,
         "p6_threshold": q_p6_threshold,
         "t7_fold_split": q_t7_fold_split,
+        "p5_holdout_filter": q_p5_holdout_filter,
+        "t2_limit_negatives": q_t2_limit_negatives,
+        "t4_downsample": q_t4_downsample,
+        "t5_shuffled_rank": q_t5_shuffled_rank,
         "f1_norm_roundtrip": q_f1_norm_roundtrip,
         "f3_initials": q_f3_initials,
         "g1_root_paths": q_g1_root_paths,
@@ -764,6 +826,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT ascii(substr(md5(o_orderkey::VARCHAR), 1, 1)) % 5 AS fold,
                    count(*) AS n
             FROM orders GROUP BY 1
+        """,
+        "p5_holdout_filter": f"""
+            SELECT ent1, ent2, CAST(0 AS BIGINT) AS n_after_full_holdout
+            FROM ({_GT_CONCEPTS}
+            UNION ALL
+            SELECT 'src1#rel_locatedIn', 'src2#rel_located_in') gt
+        """,
+        "t2_limit_negatives": """
+            WITH labeled AS (
+                SELECT o_orderkey::VARCHAR AS k, o_orderstatus = 'P' AS y
+                FROM orders),
+            neg AS (
+                SELECT k, y,
+                       row_number() OVER (ORDER BY md5('13|' || k), k) AS rn
+                FROM labeled WHERE NOT y),
+            kept AS (
+                SELECT k, y FROM labeled WHERE y
+                UNION ALL
+                SELECT k, y FROM neg WHERE rn <= 500)
+            SELECT y, count(*) AS n,
+                   md5(string_agg(k, ',' ORDER BY k)) AS kept_hash
+            FROM kept GROUP BY y
+        """,
+        "t4_downsample": """
+            SELECT event_id
+            FROM events
+            WHERE (ascii(substr(md5('29|' || event_id::VARCHAR), 1, 1)) * 16
+                 + ascii(substr(md5('29|' || event_id::VARCHAR), 2, 1))) % 100 < 25
+        """,
+        "t5_shuffled_rank": """
+            SELECT r_name AS name,
+                   row_number() OVER (ORDER BY md5('41|' || r_name), r_name) AS shuffle_rank
+            FROM region
         """,
         "f1_norm_roundtrip": """
             WITH c AS (

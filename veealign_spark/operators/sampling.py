@@ -1,0 +1,99 @@
+"""Training-side data plumbing (P5, T2, T4, T5) — deterministic forms.
+
+The reference only needs these while TRAINING its matcher; this engine
+consumes frozen weights, so they are not wired into the inference
+pipeline. They are still implemented (and oracle-checked) because a
+user running the reference's training data-prep on 100 TB needs the
+same operations, and every nondeterministic step in the reference
+(np.random.shuffle + slice) is re-expressed as a portable, seeded,
+engine-independent ordering (md5 rank) so results are reproducible
+across runs and engines.
+
+Reference semantics:
+- P5 holdout filter  (train.py:349-350): drop pairs whose
+  (source of ent1, source of ent2) is in the held-out ontology-pair
+  set (ontology_split mode).
+- T2 negative limit  (train.py:537-541): cap false examples at
+  max_false_examples after a shuffle — here the "shuffle" is the
+  seeded md5 rank, so the kept subset is deterministic.
+- T4 validation down-sampling (train.py:549-552): keep a fraction of
+  examples — md5-bucket predicate, the same device as the T7 fold
+  split.
+- T5 order shuffle   (train.py:560-566): materialize a reproducible
+  random-but-fixed batch order as an explicit rank column (Spark
+  DataFrames are unordered; order must be data, not row position).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _shuffle_key(cols: list[str], seed: int):
+    """Portable deterministic shuffle key: md5(seed || concat cols)."""
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), *[F.col(c) for c in cols]))
+
+
+def holdout_filter(
+    pairs: DataFrame, holdout: DataFrame, ent1: str = "ent1", ent2: str = "ent2"
+) -> DataFrame:
+    """P5: drop pairs whose source pair is held out. `holdout` has
+    (src1, src2) rows; source = key prefix before '#'."""
+    keyed = pairs.withColumn(
+        "__src1", F.substring_index(ent1, "#", 1)
+    ).withColumn("__src2", F.substring_index(ent2, "#", 1))
+    h = holdout.select(
+        F.col("src1").alias("__src1"), F.col("src2").alias("__src2")
+    )
+    return keyed.join(F.broadcast(h), ["__src1", "__src2"], "left_anti").drop(
+        "__src1", "__src2"
+    )
+
+
+def limit_negatives(
+    labeled: DataFrame,
+    max_false: int,
+    label_col: str = "y",
+    key_cols: list[str] | None = None,
+    seed: int = 13,
+) -> DataFrame:
+    """T2: keep every positive and at most `max_false` negatives,
+    chosen by deterministic md5-shuffle rank (the reference's
+    np.random.shuffle + slice, made reproducible). Scale note: the
+    rank is a global sort over negatives only — at corpus scale swap
+    in scalable_rank; at training-pair scale (entity-universe-sized)
+    a sort is fine."""
+    keys = key_cols or [c for c in labeled.columns if c != label_col]
+    neg = labeled.filter(~F.col(label_col))
+    w = Window.orderBy(_shuffle_key(keys, seed), *keys)
+    neg_kept = (
+        neg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_false)
+        .drop("__rn")
+    )
+    return labeled.filter(F.col(label_col)).unionByName(neg_kept)
+
+
+def downsample(
+    df: DataFrame, fraction: float, key_cols: list[str], seed: int = 29
+) -> DataFrame:
+    """T4: deterministic fraction via md5 bucketing (keep a row iff
+    its percent-bucket falls under fraction*100) — the same portable
+    ascii-of-hex device as the T7 fold split (identical in DuckDB), so
+    the operator is oracle-checkable. Granularity: 1%."""
+    h = _shuffle_key(key_cols, seed)
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    return df.filter(bucket < int(round(fraction * 100)))
+
+
+def shuffled_rank(
+    df: DataFrame, key_cols: list[str], seed: int = 41, out_col: str = "shuffle_rank"
+) -> DataFrame:
+    """T5: reproducible shuffle order as data. Scale note: global
+    row_number — at corpus scale use scalable_rank; training batches
+    are pair-universe-sized."""
+    w = Window.orderBy(_shuffle_key(key_cols, seed), *key_cols)
+    return df.withColumn(out_col, F.row_number().over(w).cast("long"))
