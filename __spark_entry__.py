@@ -350,7 +350,9 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
     over single-table LSH (recall/cost contract pinned in pytest; no
     SQL oracle, seeded hyperplanes)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ann.lsh_topk_multiprobe(emb, dim=64, k=5, n_planes=8, n_tables=4)
+    return ann.lsh_topk_multiprobe(
+        emb, dim=64, k=5, n_planes=10, n_tables=2, probe_bits=4
+    )
 
 
 def q_text_token_stats(spark, sf_dir):

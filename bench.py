@@ -30,9 +30,11 @@ HEADLINE = [
     "g3_connected_components",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
     "dedup_simhash",
     "ann_topk_cosine",
     "ann_lsh_topk",
+    "ann_lsh_topk_multiprobe",
     "text_quality",
     "text_fingerprint",
     "sessionize",

@@ -295,3 +295,37 @@ def test_lsh_multiprobe_recall_vs_cost(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
     assert n_cand <= 0.2 * brute, (n_cand, brute)
+
+
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    """Resize + frame-sample plumbing: schemas, per-kind filtering,
+    in-batch fan-out, deterministic fake payloads, and the
+    NotImplementedError contract for the real-decode path."""
+    from veealign_spark.operators import multimodal
+
+    media = multimodal.attach_media(docs)
+    resized = multimodal.resize_images(media, 64, 64)
+    rows = resized.collect()
+    assert rows and all(r["out_width"] == 64 for r in rows)
+    assert {len(bytes(r["payload"])) for r in rows} == {64}
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images
+
+    frames = multimodal.sample_frames(media, every_ms=100, max_frames=4)
+    f = frames.collect()
+    n_videos = media.filter("kind = 'video'").count()
+    assert len(f) >= n_videos  # fan-out happened
+    per = {}
+    for r in f:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == list(range(len(v))) and len(v) <= 4 for v in per.values())
+
+    # determinism
+    f2 = {(r["media_id"], r["frame_idx"]): bytes(r["payload"]) for r in frames.collect()}
+    f1 = {(r["media_id"], r["frame_idx"]): bytes(r["payload"]) for r in f}
+    assert f1 == f2
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|real resize"):
+        multimodal.resize_images(media, deterministic_fake=False).collect()

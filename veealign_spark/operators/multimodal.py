@@ -81,3 +81,100 @@ def extract_features(
             )
 
     return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, out_width int, out_height int, payload binary"
+)
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_ms int, payload binary"
+)
+
+
+def _fake_bytes(src: bytes, tag: str, n: int = 64) -> bytes:
+    """Deterministic stand-in payload derived from the input bytes —
+    keeps the real-plumbing/stub-compute contract of this module."""
+    h = hashlib.md5(tag.encode() + bytes(src)).digest()
+    return (h * (n // len(h) + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame,
+    out_width: int = 224,
+    out_height: int = 224,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Resize step of an image pipeline: one output row per image with
+    the target dimensions and the (stubbed) resized payload.
+
+    Real plumbing, stubbed compute: the mapInPandas batching, the
+    binary-in/binary-out schema, and the kind filter are exactly what
+    a PIL-backed resize uses; only the pixel work is faked (no PIL in
+    this container — raises otherwise, same contract as
+    decode_image_batch)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real resize needs PIL — pass deterministic_fake=True"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_width": out_width,
+                    "out_height": out_height,
+                    "payload": [
+                        _fake_bytes(b, f"resize|{out_width}x{out_height}")
+                        for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled
+    frame (frame_idx, timestamp-ms, frame payload), capped at
+    max_frames per video.
+
+    The fan-out shape is the real thing — a video row explodes into
+    frame rows INSIDE the Arrow batch (no JVM-side explode of the big
+    binary), so the bytes cross into Python once and only small frame
+    payloads flow onward. Decode is stubbed like everything else here."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real frame extraction needs an av/ffmpeg binding — "
+                    "pass deterministic_fake=True"
+                )
+            ids, idxs, mss, payloads = [], [], [], []
+            for mid, dur, b in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["payload"]
+            ):
+                n = min(max_frames, max(int(dur) // every_ms, 1))
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    mss.append(i * every_ms)
+                    payloads.append(_fake_bytes(b, f"frame|{i}"))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ms": mss,
+                    "payload": payloads,
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(fn, FRAME_SCHEMA)
