@@ -345,6 +345,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann.lsh_topk(emb, dim=64, k=5, n_planes=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: seeded k-means coarse quantizer +
+    n_probe cell probing (no SQL oracle — MLlib KMeans; recall/cost
+    contract pinned in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(emb, k=5, n_cells=16, n_probe=2)
+
+
 def q_ann_lsh_multiprobe(spark, sf_dir):
     """Multi-table + hamming-1 multi-probe LSH top-k — the recall knob
     over single-table LSH (recall/cost contract pinned in pytest; no
@@ -641,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_neardup": q_ann_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_topk_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

@@ -329,3 +329,42 @@ def test_multimodal_resize_and_frame_sample(spark, docs):
 
     with _pytest.raises(Exception, match="NotImplementedError|real resize"):
         multimodal.resize_images(media, deterministic_fake=False).collect()
+
+
+def test_ivf_topk_recall_vs_cost(spark):
+    """IVF (k-means cells + n_probe) recall/cost contract on the same
+    clustered corpus as the multiprobe test: recall@5 >= 0.9 at a
+    fraction of brute-force cost (cells adapt to the distribution)."""
+    import numpy as np
+
+    from veealign_spark.operators import ann
+
+    rng = np.random.default_rng(5)
+    dim, n_clusters, per = 32, 25, 20
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for _ in range(per):
+            v = centers[ci] + 0.10 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.cosine_topk(emb, emb, k=5).collect()
+    }
+    corpus_cells, probe_cells = ann.ivf_cells(emb, n_cells=20, n_probe=2)
+    n_cand = probe_cells.join(
+        corpus_cells.select(F.col("id").alias("nid"), "cell"), "cell"
+    ).count()
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.ivf_topk(emb, k=5, n_cells=20, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    brute = vid * (vid - 1)
+    assert recall >= 0.9, recall
+    assert n_cand <= 0.25 * brute, (n_cand, brute)

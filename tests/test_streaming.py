@@ -90,3 +90,30 @@ def test_stateful_sessions(spark, transcripts_sdf, tmp_path):
         ).collect()
     }
     assert got == want, (len(got), len(want))
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate turn arrivals inside the watermark horizon are
+    dropped; the streamed distinct set equals the batch dropDuplicates
+    result."""
+    import pandas as pd
+
+    from veealign_spark import schemas
+    from veealign_spark.streaming.stream_mentions import run_stream_dedup_once
+
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for i in range(40):
+        rows.append((f"c{i % 10}", i // 10, "user", f"text {i % 10}:{i // 10}", None, base + pd.Timedelta(minutes=i)))
+    dup_rows = rows + rows[:15]  # replay 15 duplicates
+    pdf = pd.DataFrame(dup_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    src = str(tmp_path / "turns")
+    spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS).repartition(4).write.parquet(src)
+
+    out = run_stream_dedup_once(spark, src, "dedup_turns_t")
+    got = {(r["conv_id"], r["turn_idx"], r["text"]) for r in out.collect()}
+    batch = {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in spark.read.parquet(src).dropDuplicates(["conv_id", "turn_idx", "text"]).collect()
+    }
+    assert got == batch and len(got) == 40

@@ -200,6 +200,94 @@ def lsh_topk_multiprobe(
     )
 
 
+def _l2_expr(v, c):
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_cells(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: k-means centroids (pyspark.ml KMeans,
+    seeded) over the corpus; returns (corpus_cells, probe_cells) —
+    each vector's home cell, and each query's n_probe nearest cells.
+
+    Cell assignment stays JVM-side: the centroid table is tiny and
+    broadcast; distance is a zip_with/aggregate expression, so the only
+    per-row cost is n_cells fused arithmetic ops — no Python, no UDF.
+    At 100 TB the centroids are trained on a sample (KMeans over the
+    full corpus is itself distributed, but a 1% sample is standard)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    train = e.select(array_to_vector(F.col("v").cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centers_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cell int, center array<double>",
+        )
+    )
+    assign = e.crossJoin(centers_df).withColumn("d", _l2_expr(F.col("v"), F.col("center")))
+    w = Window.partitionBy("id").orderBy("d", "cell")
+    ranked = assign.withColumn("rn", F.row_number().over(w)).select(
+        "id", "v", "cell", "rn"
+    )
+    return ranked.filter(F.col("rn") == 1).drop("rn"), ranked.filter(
+        F.col("rn") <= n_probe
+    ).drop("rn")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their n_probe nearest
+    k-means cells and score exact cosine against the cells' members —
+    the centroid-bucketed alternative to hyperplane LSH (cells adapt
+    to the data distribution, so recall at equal cost is usually
+    higher on clustered corpora; recall/cost pinned in pytest)."""
+    corpus_cells, probe_cells = ivf_cells(
+        embeddings, n_cells, n_probe, seed, id_col, vec_col
+    )
+    q = probe_cells.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    c = corpus_cells.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     dim: int,

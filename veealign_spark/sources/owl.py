@@ -273,8 +273,17 @@ def parse_owl(path: str) -> dict:
     Returns {name, language, namespace, triples [(subj,pred,obj,kind)],
     entities [id], object_properties [id], data_properties [id],
     labels [(raw_id, label, lang)]}.
+
+    http(s) paths are fetched like the reference does (ontology.py:
+    18-19, trailing slash included) — no network in this sandbox, so
+    that branch is exercised only against live URLs.
     """
-    doc = minidom.parse(path)
+    if path.startswith(("http://", "https://")):
+        from urllib.request import urlopen
+
+        doc = minidom.parse(urlopen(path + "/"))
+    else:
+        doc = minidom.parse(path)
     root = doc.documentElement
     labels = _label_rows(root)
     mapping = {raw: lab for raw, lab, _lang in labels}

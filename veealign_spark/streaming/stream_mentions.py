@@ -120,3 +120,26 @@ def stream_conversation_sessions(spark, path: str, gap_minutes: int = 30):
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_dedup_turns(spark, path: str, within: str = "30 minutes"):
+    """Streaming exact dedup of transcript turns via
+    dropDuplicatesWithinWatermark: duplicate (conv_id, turn_idx, text)
+    arrivals inside the watermark horizon are dropped with BOUNDED
+    state (keys expire once the watermark passes them — the streaming
+    twin of the batch A7 dedup, state never grows corpus-sized)."""
+    stream = stream_transcripts(spark, path).withWatermark("ts", within)
+    return stream.dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "text"])
+
+
+def run_stream_dedup_once(spark, path: str, query_name: str = "dedup_turns"):
+    q = (
+        stream_dedup_turns(spark, path)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
