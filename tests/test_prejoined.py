@@ -78,3 +78,31 @@ def test_refresh_embeddings_no_single_partition_exchange(spark):
     assert "Exchange SinglePartition" not in plan
     rows = out.collect()
     assert {r["idx"] for r in rows} == {1, 2, 3}
+
+
+def test_pr_curve_no_single_partition_exchange(spark):
+    """pr_curve's cumulative counts use range partitioning + a per-
+    partition offset census — the whole score table must not funnel
+    through one task (round-1 review, weak #3)."""
+    import random
+
+    from veealign_spark.operators.metrics import best_threshold, pr_curve
+
+    rng = random.Random(3)
+    scores = spark.createDataFrame(
+        [(f"a{i}", f"b{i}", round(rng.random(), 3)) for i in range(2000)],
+        "ent1 string, ent2 string, score double",
+    )
+    gold = spark.createDataFrame(
+        [(f"a{i}", f"b{i}") for i in range(0, 2000, 3)], "ent1 string, ent2 string"
+    )
+    curve = pr_curve(scores, gold)
+    plan = curve._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    # sanity: curve is monotone in n and tp <= n, recall ends at ~1
+    rows = sorted((r["score"], r["tp"], r["n"]) for r in curve.collect())
+    assert all(tp <= n for _, tp, n in rows)
+    top = max(rows, key=lambda r: r[2])
+    assert top[2] == 2000 and top[1] == gold.count()
+    thr, f1 = best_threshold(scores, gold)
+    assert 0.0 <= thr <= 1.0 and 0.0 <= f1 <= 1.0

@@ -2,10 +2,11 @@
 
 The reference evaluates P/R/F at every threshold in a 0.001-step grid,
 re-scanning all pairs per step (train.py:195-235 — O(steps * pairs)).
-Re-expressed as ONE window pass: sort pairs by score desc, cumulative
-tp/fp via running counts, which yields the entire P/R curve; picking
-the argmax-F1 threshold is then a scan of the curve. This is the
-classic Spark-side PR-curve trick and is O(pairs log pairs) total.
+Re-expressed as ONE pass: range-partition by score desc, per-
+partition running tp/n counts, plus a per-partition offset census
+(one row per partition) — the entire P/R curve with NO single-
+partition exchange; picking the argmax-F1 threshold is then a scan of
+the curve. O(pairs log pairs) total, parallel across partitions.
 """
 
 from __future__ import annotations
@@ -51,13 +52,40 @@ def pr_curve(scores: DataFrame, gold: DataFrame) -> DataFrame:
         "left",
     ).fillna(0, ["y"])
     n_gold = gold.select("ent1", "ent2").dropDuplicates().count()
+    # two-level cumulative counts — the same device as scalable_rank:
+    # range-partition by score desc, per-partition running sums, then
+    # add the per-partition totals' prefix sums (a P-row driver census)
+    # — no single-partition Exchange for the whole score table
+    spark = scores.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    parts = (
+        labeled.repartitionByRange(n_parts, F.col("score").desc())
+        .sortWithinPartitions(F.col("score").desc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids across reuse
+    )
     w = (
-        Window.orderBy(F.col("score").desc())
+        Window.partitionBy("__pid")
+        .orderBy(F.col("score").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    census = (
+        parts.groupBy("__pid")
+        .agg(F.sum("y").alias("tp_tot"), F.count(F.lit(1)).alias("n_tot"))
+        .collect()
+    )
+    off_tp, off_n, offsets = 0, 0, []
+    for r in sorted(census, key=lambda r: r["__pid"]):
+        offsets.append((r["__pid"], off_tp, off_n))
+        off_tp += r["tp_tot"]
+        off_n += r["n_tot"]
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0, 0)], "__pid int, __off_tp long, __off_n long"
+    )
     curve = (
-        labeled.withColumn("tp", F.sum("y").over(w))
-        .withColumn("n", F.count(F.lit(1)).over(w))
+        parts.join(F.broadcast(off_df), "__pid")
+        .withColumn("tp", F.sum("y").over(w) + F.col("__off_tp"))
+        .withColumn("n", F.count(F.lit(1)).over(w) + F.col("__off_n"))
         # ties: keep the last row per score so every threshold includes
         # ALL pairs at that score (>= semantics, test.py:368)
         .groupBy("score")
