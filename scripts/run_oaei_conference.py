@@ -52,13 +52,14 @@ def main() -> None:
         f"- micro: P={micro['precision']:.3f} R={micro['recall']:.3f} "
         f"F1={micro['f1']:.3f} (tp={micro['tp']} fp={micro['fp']} fn={micro['fn']})",
         "",
-        "| pair | tp | fp | fn | P | R | F1 |",
-        "|---|---|---|---|---|---|---|",
+        "| pair | tp | fp | fn | P | R | F1 | F1-ceiling (per-pair thr) |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in res["per_pair"]:
         lines.append(
             f"| {r['src1']}-{r['src2']} | {r['tp']} | {r['fp']} | {r['fn']} | "
-            f"{r['precision']:.3f} | {r['recall']:.3f} | {r['f1']:.3f} |"
+            f"{r['precision']:.3f} | {r['recall']:.3f} | {r['f1']:.3f} | "
+            f"{r.get('f1_ceiling') or 0:.3f} |"
         )
     lines.append("")
     os.makedirs(os.path.dirname(OUT) or ".", exist_ok=True)

@@ -151,3 +151,50 @@ def test_flag_combos_match_oracle(spark, transcripts_sdf, fixture_pair, bag, wei
     np.testing.assert_allclose(
         got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9
     )
+
+
+def test_multi_source_pipeline(spark, fixture_pair):
+    """3-source fusion through the pairs-as-data candidate path: a
+    third source (src3 = src2 renamed) joins the run; alignments must
+    cover ALL THREE source pairs, per-source-pair orientation holds
+    (ent1's source < ent2's source), and the src1-src2 accepted set is
+    unchanged by src3's presence."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from veealign_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    tri = fixture_pair["triples"].copy()
+    tri3 = tri[tri["src"] == "src2"].copy()
+    tri3["src"] = "src3"
+    both = pd.concat([tri, tri3], ignore_index=True)
+    tdf = spark.createDataFrame(
+        both, "src string, subj string, pred string, obj string, kind string"
+    )
+    res = run_pipeline(spark, triples=tdf, config=PipelineConfig())
+    acc = res["accepted"].select("ent1", "ent2").collect()
+    srcs = {
+        (r["ent1"].split("#")[0], r["ent2"].split("#")[0]) for r in acc
+    }
+    assert srcs == {("src1", "src2"), ("src1", "src3"), ("src2", "src3")}
+
+    # src3 is a clone of src2: its alignment to src1 mirrors src2's
+    a12 = {
+        (r["ent1"], r["ent2"].split("#")[1]) for r in acc if r["ent2"].startswith("src2#")
+    }
+    a13 = {
+        (r["ent1"], r["ent2"].split("#")[1]) for r in acc if r["ent2"].startswith("src3#") and r["ent1"].startswith("src1#")
+    }
+    assert a12 == a13
+
+    # two-source run unchanged by the refactor
+    res2 = run_pipeline(
+        spark,
+        triples=spark.createDataFrame(
+            tri, "src string, subj string, pred string, obj string, kind string"
+        ),
+        config=PipelineConfig(),
+    )
+    two = {(r["ent1"], r["ent2"]) for r in res2["accepted"].select("ent1", "ent2").collect()}
+    assert two == {(a, b) for a, b in ((r["ent1"], r["ent2"]) for r in acc) if b.startswith("src2#")}

@@ -230,6 +230,52 @@ def evaluate_track(
         )
         .orderBy("src1", "src2")
     )
+    # per-pair tuned ceiling (no 1:1): the best F1 each pair could
+    # reach with its own threshold — the engine's headroom over the
+    # single global threshold, reported alongside (OAEI "local
+    # optimum" convention)
+    from pyspark.sql import Window
+
+    lab = (
+        scores.join(
+            gold_all.select("ent1", "ent2").withColumn("y", F.lit(1)),
+            ["ent1", "ent2"],
+            "left",
+        )
+        .fillna(0, ["y"])
+        .withColumn("src1", F.substring_index("ent1", "#", 1))
+        .withColumn("src2", F.substring_index("ent2", "#", 1))
+    )
+    wc = (
+        Window.partitionBy("src1", "src2")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gold_sizes = (
+        gold_all.withColumn("src1", F.substring_index("ent1", "#", 1))
+        .withColumn("src2", F.substring_index("ent2", "#", 1))
+        .groupBy("src1", "src2")
+        .agg(F.countDistinct("ent1", "ent2").alias("n_gold"))
+    )
+    ceiling = (
+        lab.withColumn("tp_c", F.sum("y").over(wc))
+        .withColumn("n_c", F.count(F.lit(1)).over(wc))
+        .join(gold_sizes, ["src1", "src2"])
+        .withColumn("p_c", F.col("tp_c") / F.col("n_c"))
+        .withColumn("r_c", F.col("tp_c") / F.col("n_gold"))
+        .withColumn(
+            "f1_c",
+            F.when(
+                F.col("p_c") + F.col("r_c") > 0,
+                2 * F.col("p_c") * F.col("r_c") / (F.col("p_c") + F.col("r_c")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .groupBy("src1", "src2")
+        .agg(F.round(F.max("f1_c"), 3).alias("f1_ceiling"))
+    )
+    per_pair = per_pair.join(ceiling, ["src1", "src2"], "left").orderBy(
+        "src1", "src2"
+    )
     rows = [r.asDict() for r in per_pair.collect()]
     tp = sum(r["tp"] for r in rows)
     fp = sum(r["fp"] for r in rows)
