@@ -8,8 +8,10 @@ throughput benchmark, and prints ONE JSON line:
 
 --scaling: additionally runs the identical KG job at local[N] and
 local[4N] (the sandbox proxy for N vs 4N executors — no real cluster
-here) and rewrites BENCH/BASELINE.md with both throughputs and the
-scaling efficiency.
+here) and writes BENCH/SCALING_inprocess.md with both throughputs and
+the scaling efficiency. (The authoritative scaling evidence lives in
+BENCH/BASELINE.md and comes from the spark-submit entrypoint — see the
+command lines there; this in-process mode is the quick cross-check.)
 """
 
 from __future__ import annotations
@@ -227,7 +229,7 @@ def _write_baseline_md(result: dict) -> None:
     s = result["scaling"]
     kg = result["kg"]
     Path("BENCH").mkdir(exist_ok=True)
-    Path("BENCH/BASELINE.md").write_text(f"""# BENCH baseline — measured on this machine
+    Path("BENCH/SCALING_inprocess.md").write_text(f"""# In-process scaling cross-check — measured on this machine
 
 KG-construction pipeline throughput (full pipeline: extraction ->
 contexts -> blocked candidates -> dual-attention scoring -> threshold

@@ -92,20 +92,16 @@ def asof_join_last_event(
     carried = unioned.withColumn(
         "last_r", F.last("r_event_id", ignorenulls=True).over(w)
     ).withColumn("last_r_ts", F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w))
-    out = carried.filter(F.col("tag") == 1).select(
+    matched = F.col("last_r")
+    if tolerance_minutes is not None:
+        matched = F.when(
+            F.col("ts").cast("timestamp").cast("long")
+            - F.col("last_r_ts").cast("timestamp").cast("long")
+            <= tolerance_minutes * 60,
+            F.col("last_r"),
+        )
+    return carried.filter(F.col("tag") == 1).select(
         F.col("l_event_id").alias("event_id"),
         "user_id",
-        F.col("last_r").alias("matched_event_id"),
+        matched.alias("matched_event_id"),
     )
-    if tolerance_minutes is not None:
-        out = carried.filter(F.col("tag") == 1).select(
-            F.col("l_event_id").alias("event_id"),
-            "user_id",
-            F.when(
-                F.col("ts").cast("timestamp").cast("long")
-                - F.col("last_r_ts").cast("timestamp").cast("long")
-                <= tolerance_minutes * 60,
-                F.col("last_r"),
-            ).alias("matched_event_id"),
-        )
-    return out
