@@ -437,6 +437,19 @@ def q_kg_blocked_candidates(spark, sf_dir):
     return cand.blocked_candidates(c1, c2)
 
 
+def q_kg_extract_triples(spark, sf_dir):
+    """The corpus-proportional fact path under the oracle: JVM regex
+    mention extraction + Thing/dedup staging over the verbalized
+    transcripts; DuckDB re-verbalizes the same text in SQL and runs the
+    SAME regex — extraction parity is a hard hash check."""
+    tr = _testdata_transcripts(spark, sf_dir)
+    from veealign_spark.sources.transcripts import extract_mentions, mentions_to_triples
+
+    return mentions_to_triples(extract_mentions(tr)).select(
+        "src", "subj", "pred", "obj", "kind"
+    )
+
+
 def q_kg_blocking_recall(spark, sf_dir):
     """Blocking recall surfaced in the contract: ground-truth pairs
     that SURVIVE blocked candidate generation. Oracle = all ground-
@@ -661,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_topk": q_tpch_q3_topk,
         "kg_blocked_candidates": q_kg_blocked_candidates,
         "kg_blocking_recall": q_kg_blocking_recall,
+        "kg_extract_triples": q_kg_extract_triples,
         "kg_alignments": q_kg_alignments,
     }
 
@@ -704,6 +718,46 @@ def oracle_sql() -> dict[str, str]:
         # blocked candidate generation must retain every ground-truth
         # concept pair (blocking recall as a contract-level check)
         "kg_blocking_recall": f"SELECT ent1, ent2 FROM ({_GT_CONCEPTS}) gt",
+        # re-verbalize the transcripts in SQL and run the SAME mention
+        # regex DuckDB-side — extraction parity end to end
+        "kg_extract_triples": r"""
+            WITH nat AS (
+                SELECT DISTINCT
+                    regexp_replace(n.n_name, '[^A-Za-z0-9]', '_', 'g') AS nat,
+                    regexp_replace(r.r_name, '[^A-Za-z0-9]', '_', 'g') AS reg
+                FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+            sup AS (
+                SELECT DISTINCT
+                    regexp_replace(s.s_name, '[^A-Za-z0-9]', '_', 'g') AS sup,
+                    regexp_replace(n.n_name, '[^A-Za-z0-9]', '_', 'g') AS nat
+                FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+            texts AS (
+                SELECT 'src1' AS src,
+                       'N' || upper(substr(nat,1,1)) || lower(substr(nat,2)) ||
+                       ' subclass_of R' || upper(substr(reg,1,1)) || lower(substr(reg,2)) || ' .' AS text
+                FROM nat
+                UNION ALL
+                SELECT 'src2', 'n_' || lower(nat) || ' subclass_of r_' || lower(reg) || ' .' FROM nat
+                UNION ALL
+                SELECT 'src1',
+                       'S' || upper(substr(sup,1,1)) || lower(substr(sup,2)) ||
+                       ' rel_locatedIn N' || upper(substr(nat,1,1)) || lower(substr(nat,2)) || ' .'
+                FROM sup
+                UNION ALL
+                SELECT 'src2', 's_' || lower(sup) || ' rel_located_in n_' || lower(nat) || ' .' FROM sup),
+            m AS (
+                SELECT src,
+                       regexp_extract(text, '([A-Za-z][A-Za-z0-9_]*)\s+(subclass_of|rel_[A-Za-z0-9_]+|attr_[A-Za-z0-9_]+)\s+([A-Za-z][A-Za-z0-9_]*)', 1) AS subj,
+                       regexp_extract(text, '([A-Za-z][A-Za-z0-9_]*)\s+(subclass_of|rel_[A-Za-z0-9_]+|attr_[A-Za-z0-9_]+)\s+([A-Za-z][A-Za-z0-9_]*)', 2) AS pred,
+                       regexp_extract(text, '([A-Za-z][A-Za-z0-9_]*)\s+(subclass_of|rel_[A-Za-z0-9_]+|attr_[A-Za-z0-9_]+)\s+([A-Za-z][A-Za-z0-9_]*)', 3) AS obj
+                FROM texts)
+            SELECT DISTINCT src, subj, pred, obj,
+                   CASE WHEN pred = 'subclass_of' THEN 'Subclass'
+                        WHEN pred LIKE 'rel_%' THEN 'Object Property'
+                        ELSE 'Datatype Property' END AS kind
+            FROM m
+            WHERE subj <> '' AND subj <> 'Thing' AND obj <> 'Thing'
+        """,
         "a1_group_neighbours": """
             SELECT o_custkey AS custkey,
                    count(*) AS n_orders,
