@@ -44,3 +44,21 @@ def test_resume_skips_and_matches(spark, transcripts_sdf, tmp_path):
     lineage = spark.read.parquet(os.path.join(ckpt, "lineage/stage=triples"))
     total = sum(r["rows"] for r in lineage.collect())
     assert total == res1["triples"].count()
+
+
+def test_resume_triples_input_path(spark, triples_sdf, tmp_path):
+    """Stage checkpoint/resume also holds when the pipeline starts from
+    a pre-parsed triple table (the S1 OWL path): second run resumes
+    every stage and reproduces the identical accepted set."""
+    from veealign_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    ckpt = str(tmp_path / "ckpt_owl")
+    cfg = PipelineConfig(checkpoint_dir=ckpt)
+    r1 = run_pipeline(spark, triples=triples_sdf, config=cfg)
+    a1 = {(r["ent1"], r["ent2"]) for r in r1["accepted"].select("ent1", "ent2").collect()}
+
+    r2 = run_pipeline(spark, triples=triples_sdf, config=PipelineConfig(checkpoint_dir=ckpt))
+    resumed = [m for m in r2["metrics"] if m.get("resumed")]
+    assert len(resumed) >= 8  # every staged boundary skipped
+    a2 = {(r["ent1"], r["ent2"]) for r in r2["accepted"].select("ent1", "ent2").collect()}
+    assert a1 == a2 and a1
