@@ -26,8 +26,10 @@ Reference semantics:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from veealign_spark.operators.scoring import scalable_rank
 
 
 def _shuffle_key(cols: list[str], seed: int):
@@ -60,17 +62,18 @@ def limit_negatives(
 ) -> DataFrame:
     """T2: keep every positive and at most `max_false` negatives,
     chosen by deterministic md5-shuffle rank (the reference's
-    np.random.shuffle + slice, made reproducible). Scale note: the
-    rank is a global sort over negatives only — at corpus scale swap
-    in scalable_rank; at training-pair scale (entity-universe-sized)
-    a sort is fine."""
+    np.random.shuffle + slice, made reproducible). The rank runs
+    through scalable_rank (range partition + per-partition row_number
+    + offset census), so the negative pool never funnels through one
+    task."""
     keys = key_cols or [c for c in labeled.columns if c != label_col]
-    neg = labeled.filter(~F.col(label_col))
-    w = Window.orderBy(_shuffle_key(keys, seed), *keys)
+    neg = labeled.filter(~F.col(label_col)).withColumn(
+        "__sk", _shuffle_key(keys, seed)
+    )
     neg_kept = (
-        neg.withColumn("__rn", F.row_number().over(w))
+        scalable_rank(neg, "__sk", idx_col="__rn")
         .filter(F.col("__rn") <= max_false)
-        .drop("__rn")
+        .drop("__sk", "__rn")
     )
     return labeled.filter(F.col(label_col)).unionByName(neg_kept)
 
@@ -92,8 +95,7 @@ def downsample(
 def shuffled_rank(
     df: DataFrame, key_cols: list[str], seed: int = 41, out_col: str = "shuffle_rank"
 ) -> DataFrame:
-    """T5: reproducible shuffle order as data. Scale note: global
-    row_number — at corpus scale use scalable_rank; training batches
-    are pair-universe-sized."""
-    w = Window.orderBy(_shuffle_key(key_cols, seed), *key_cols)
-    return df.withColumn(out_col, F.row_number().over(w).cast("long"))
+    """T5: reproducible shuffle order as data, via scalable_rank — no
+    single-partition window even on a corpus-sized input."""
+    keyed = df.withColumn("__sk", _shuffle_key(key_cols, seed))
+    return scalable_rank(keyed, "__sk", idx_col=out_col).drop("__sk")

@@ -140,9 +140,22 @@ def build_embeddings_table(
 
 
 class EmbBroadcast:
-    """(indexer, matrix) broadcast pair. Row 0 is the zero UNK row."""
+    """(indexer, matrix) broadcast pair. Row 0 is the zero UNK row.
 
-    def __init__(self, spark: SparkSession, emb_df: DataFrame):
+    BOTH constructors pull the full vocabulary to the driver — that is
+    the broadcast layout's defining constraint, bounded by
+    PipelineConfig.vocab_broadcast_threshold (vector_mode="auto"
+    switches to the pre-joined path above it; see the module banner).
+    """
+
+    def __init__(self, spark: SparkSession, emb_df: DataFrame, max_rows: int = 5_000_000):
+        n = emb_df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"EmbBroadcast over {n} terms would collect the whole "
+                "vocabulary to the driver — use the pre-joined path "
+                "(vector_mode='prejoined') instead"
+            )
         pdf = emb_df.select("key", "idx", "vec").toPandas().sort_values("idx")
         vocab = pdf["key"].tolist()
         dim = len(pdf["vec"].iloc[0]) if len(pdf) else 32
