@@ -1089,7 +1089,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len({TOKS}) AS n_tokens,
                    len(list_distinct({TOKS})) AS n_distinct_tokens,
-                   length(text) AS n_chars
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))
+                       AS n_bpe_tokens
             FROM documents
         """,
         "text_quality": f"""

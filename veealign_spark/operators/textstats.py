@@ -21,6 +21,18 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a"]
 
 
+# BPE-ish subword segmentation (GPT-2-style pretokenizer approximation,
+# alternation-only so the same pattern runs in Java regex AND RE2/
+# DuckDB): contractions | space?-letter-run | space?-digit-run |
+# space?-punct-run. Counts approximate LLM token budgets far better
+# than whitespace tokens on code/punctuation-heavy text.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_tokens_col(text):
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
     toks = tokens_col(F.col("text"))
     return documents.select(
@@ -28,6 +40,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.length("text").cast("long").alias("n_chars"),
+        F.size(bpe_tokens_col(F.col("text"))).cast("long").alias("n_bpe_tokens"),
     )
 
 
