@@ -20,7 +20,7 @@ at 100 TB the band join keys get salted exactly like candidates.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
