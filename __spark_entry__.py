@@ -915,10 +915,22 @@ def oracle_sql() -> dict[str, str]:
             FROM kept GROUP BY y
         """,
         "t4_downsample": """
-            SELECT event_id
-            FROM events
-            WHERE (ascii(substr(md5('29|' || event_id::VARCHAR), 1, 1)) * 16
-                 + ascii(substr(md5('29|' || event_id::VARCHAR), 2, 1))) % 100 < 25
+            WITH h AS (
+                SELECT event_id, md5('29|' || event_id::VARCHAR) AS hx
+                FROM events
+            ), d AS (
+                SELECT event_id,
+                       (ascii(substr(hx, 1, 1))
+                        - CASE WHEN ascii(substr(hx, 1, 1)) >= 97 THEN 87 ELSE 48 END) * 4096
+                     + (ascii(substr(hx, 2, 1))
+                        - CASE WHEN ascii(substr(hx, 2, 1)) >= 97 THEN 87 ELSE 48 END) * 256
+                     + (ascii(substr(hx, 3, 1))
+                        - CASE WHEN ascii(substr(hx, 3, 1)) >= 97 THEN 87 ELSE 48 END) * 16
+                     + (ascii(substr(hx, 4, 1))
+                        - CASE WHEN ascii(substr(hx, 4, 1)) >= 97 THEN 87 ELSE 48 END) AS val
+                FROM h
+            )
+            SELECT event_id FROM d WHERE val % 100 < 25
         """,
         "t5_shuffled_rank": """
             SELECT r_name AS name,

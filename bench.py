@@ -159,7 +159,15 @@ def main() -> None:
 
     spark = fresh_spark(cpus)
     queries = run_queries(spark, sf_dir)
+    # steady-state KG throughput: run twice, report the second — the
+    # same convention _kg_subprocess already uses for the scaling
+    # points (first run carries one-time codegen/python-worker spin-up
+    # that a long-lived 100 TB job amortizes away); both runs are kept
+    # in the JSON so the cold number stays visible
+    kg_cold = kg_throughput(spark)
     kg = kg_throughput(spark)
+    kg["pipeline_sec_cold"] = kg_cold["pipeline_sec"]
+    kg["triples_per_sec_cold"] = kg_cold["triples_per_sec"]
 
     result = {
         "metric": "headline_queries_total",

@@ -24,7 +24,12 @@ def test_every_oracle_has_a_query():
     assert not missing, missing
 
 
-def test_no_single_partition_exchange_in_light_queries(spark):
+def test_no_single_partition_exchange_in_light_queries(spark, monkeypatch):
+    # force the scale branch of the size-adaptive rank/curve operators:
+    # below the threshold they deliberately use a plain Window.orderBy
+    # (single partition is correct and fastest for small inputs); the
+    # sweep guards the ABOVE-threshold regime's plans
+    monkeypatch.setenv("VEEALIGN_SMALL_INPUT_ROWS", "0")
     sf = "/root/testdata/sf0.001"
     offenders = []
     for name, fn in em.queries().items():

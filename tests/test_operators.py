@@ -368,3 +368,17 @@ def test_ivf_topk_recall_vs_cost(spark):
     brute = vid * (vid - 1)
     assert recall >= 0.9, recall
     assert n_cand <= 0.25 * brute, (n_cand, brute)
+
+
+def test_downsample_kept_rate_is_uniform(spark):
+    """The md5 bucket parses four hex digits (65536 residues), so the
+    kept rate tracks the requested fraction closely — the two-char
+    ascii bucket it replaced reached only 88 of 100 residues and
+    skewed 0.10 to ~0.090 / 0.25 to ~0.266 (round-2 advice)."""
+    from veealign_spark.operators import sampling
+
+    n = 20_000
+    df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+    for frac in (0.10, 0.25, 0.75):
+        kept = sampling.downsample(df, frac, ["k"]).count() / n
+        assert abs(kept - frac) < 0.02, (frac, kept)

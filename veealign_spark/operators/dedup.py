@@ -58,12 +58,14 @@ def doc_shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> Dat
     grams = shingles_col(F.col("text"), n)
     if distinct:
         grams = F.array_distinct(grams)
-    # compressed doc tables often arrive as one tiny file = one
-    # partition; shingling is expression-CPU-heavy per row, so spread
-    # it (a 5k-row shuffle buys 32-way tokenize/md5 parallelism)
-    docs = documents.repartition(
-        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    # compressed doc tables sometimes arrive as a few tiny files = too
+    # few partitions for the expression-CPU-heavy shingling; spread
+    # them ONLY then — when scan parallelism is already fine, an
+    # unconditional repartition reshuffles the whole corpus for nothing
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    docs = documents
+    if documents.rdd.getNumPartitions() < max(par // 2, 2):
+        docs = documents.repartition(par, "doc_id")
     return docs.select("doc_id", F.explode(grams).alias("shingle"))
 
 
@@ -110,7 +112,15 @@ def minhash_lsh_pairs(
     aggregation of the signature table itself, co-partitioned with the
     join key, so the guard adds no extra shuffle of the big side (the
     census can be corpus-bucket-sized — never broadcast it)."""
-    sig = minhash_signatures(documents, n_bands, shingle_n)
+    # materialize the signature table once: the bucket self-join reads
+    # it on BOTH sides within one job, where a lazy cache cannot help —
+    # each side would re-run the shingle explode + min-hash agg over
+    # the full corpus. The signature table is n_bands rows/doc of
+    # ~50 bytes — tiny next to the text it summarizes — so this is the
+    # right materialization at 100 TB too (compute-once, join-twice).
+    sig = minhash_signatures(documents, n_bands, shingle_n).localCheckpoint(
+        eager=True
+    )
     if max_bucket_size:
         stats = (
             sig.groupBy("band", "minhash")

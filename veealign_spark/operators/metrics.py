@@ -2,17 +2,21 @@
 
 The reference evaluates P/R/F at every threshold in a 0.001-step grid,
 re-scanning all pairs per step (train.py:195-235 — O(steps * pairs)).
-Re-expressed as ONE pass: range-partition by score desc, per-
-partition running tp/n counts, plus a per-partition offset census
-(one row per partition) — the entire P/R curve with NO single-
-partition exchange; picking the argmax-F1 threshold is then a scan of
-the curve. O(pairs log pairs) total, parallel across partitions.
+Re-expressed as ONE pass: a cumulative tp/n sweep down the score order
+— a plain single window at or below the adaptive size threshold (one
+partition is correct and fastest there), two-level above it (range-
+partition by score desc, per-partition running counts, per-partition
+offset census — NO single-partition exchange); picking the argmax-F1
+threshold is then a scan of the curve. O(pairs log pairs) total,
+parallel across partitions on the scale path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from veealign_spark.operators import adaptive
 
 
 def pr_metrics(predicted: DataFrame, gold: DataFrame) -> DataFrame:
@@ -39,56 +43,76 @@ def pr_metrics(predicted: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
-def pr_curve(scores: DataFrame, gold: DataFrame) -> DataFrame:
+def pr_curve(
+    scores: DataFrame, gold: DataFrame, small_rows: int | None = None
+) -> DataFrame:
     """A9 (single-pass form): full precision/recall curve.
 
     scores(ent1, ent2, score) + gold -> one row per distinct score
     (threshold candidate) with cumulative tp/fp and P/R/F1 as if the
     threshold were set at that score.
+
+    Size-adaptive (adaptive.small_input_rows; the connected_components
+    driver_threshold pattern): at or below the threshold the cumsum is
+    a plain ``Window.orderBy(score desc)`` — one partition is correct
+    and fastest for a curve-sized table — and above it the two-level
+    device (range-partition + per-partition running sums + a P-row
+    driver offset census) keeps the whole score table out of any
+    single-partition Exchange. The labeled join is persisted so the
+    size probe and the curve share one upstream compute.
     """
+    if small_rows is None:
+        small_rows = adaptive.small_input_rows()
     labeled = scores.join(
         gold.select("ent1", "ent2").withColumn("y", F.lit(1)),
         ["ent1", "ent2"],
         "left",
-    ).fillna(0, ["y"])
+    ).fillna(0, ["y"]).persist()
     n_gold = gold.select("ent1", "ent2").dropDuplicates().count()
-    # two-level cumulative counts — the same device as scalable_rank:
-    # range-partition by score desc, per-partition running sums, then
-    # add the per-partition totals' prefix sums (a P-row driver census)
-    # — no single-partition Exchange for the whole score table
     spark = scores.sparkSession
-    n_parts = max(spark.sparkContext.defaultParallelism, 2)
-    parts = (
-        labeled.repartitionByRange(n_parts, F.col("score").desc())
-        .sortWithinPartitions(F.col("score").desc())
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin partition ids across reuse
-    )
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(F.col("score").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    census = (
-        parts.groupBy("__pid")
-        .agg(F.sum("y").alias("tp_tot"), F.count(F.lit(1)).alias("n_tot"))
-        .collect()
-    )
-    off_tp, off_n, offsets = 0, 0, []
-    for r in sorted(census, key=lambda r: r["__pid"]):
-        offsets.append((r["__pid"], off_tp, off_n))
-        off_tp += r["tp_tot"]
-        off_n += r["n_tot"]
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0, 0)], "__pid int, __off_tp long, __off_n long"
-    )
+    if labeled.count() <= small_rows:
+        w = Window.orderBy(F.col("score").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = labeled.withColumn("tp", F.sum("y").over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(w)
+        )
+    else:
+        # two-level cumulative counts — the same device as scalable_rank
+        n_parts = max(spark.sparkContext.defaultParallelism, 2)
+        parts = (
+            labeled.repartitionByRange(n_parts, F.col("score").desc())
+            .sortWithinPartitions(F.col("score").desc())
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)  # pin partition ids across reuse
+        )
+        w = (
+            Window.partitionBy("__pid")
+            .orderBy(F.col("score").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        census = (
+            parts.groupBy("__pid")
+            .agg(F.sum("y").alias("tp_tot"), F.count(F.lit(1)).alias("n_tot"))
+            .collect()
+        )
+        off_tp, off_n, offsets = 0, 0, []
+        for r in sorted(census, key=lambda r: r["__pid"]):
+            offsets.append((r["__pid"], off_tp, off_n))
+            off_tp += r["tp_tot"]
+            off_n += r["n_tot"]
+        off_df = spark.createDataFrame(
+            offsets or [(0, 0, 0)], "__pid int, __off_tp long, __off_n long"
+        )
+        cum = (
+            parts.join(F.broadcast(off_df), "__pid")
+            .withColumn("tp", F.sum("y").over(w) + F.col("__off_tp"))
+            .withColumn("n", F.count(F.lit(1)).over(w) + F.col("__off_n"))
+        )
     curve = (
-        parts.join(F.broadcast(off_df), "__pid")
-        .withColumn("tp", F.sum("y").over(w) + F.col("__off_tp"))
-        .withColumn("n", F.count(F.lit(1)).over(w) + F.col("__off_n"))
         # ties: keep the last row per score so every threshold includes
         # ALL pairs at that score (>= semantics, test.py:368)
-        .groupBy("score")
+        cum.groupBy("score")
         .agg(F.max("tp").alias("tp"), F.max("n").alias("n"))
         .withColumn("fp", F.col("n") - F.col("tp"))
         .withColumn("precision", F.col("tp") / F.col("n"))

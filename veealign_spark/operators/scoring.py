@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from veealign_spark.functions.embeddings import embed_terms_np, embed_udf_factory
 from veealign_spark.functions.text_norm import norm_label_col, normalize_term
-from veealign_spark.operators import kernel_np
+from veealign_spark.operators import adaptive, kernel_np
 from veealign_spark.operators.kernel_np import KernelParams
 
 
@@ -70,11 +70,14 @@ def _substitute_labels(
     out = df.withColumn("__tok", tok_col).withColumn("__src", src_col)
     if label_map is None:
         return out
-    lm = label_map.select(
-        F.col("src").alias("__src"),
-        F.col("id").alias("__tok"),
-        F.col("label").alias("__label"),
-    )
+    # dedupe join keys: an id declared under several elements (legal
+    # RDF/XML) would otherwise fan out rows and blow up the downstream
+    # map_from_entries with duplicate map keys; keep the minimum label
+    # per (src, id) — a deterministic stand-in for the reference
+    # dict's first-writer-wins
+    lm = label_map.groupBy(
+        F.col("src").alias("__src"), F.col("id").alias("__tok")
+    ).agg(F.min("label").alias("__label"))
     return (
         out.join(F.broadcast(lm), ["__src", "__tok"], "left")
         .withColumn("__tok", F.coalesce("__label", "__tok"))
@@ -83,16 +86,34 @@ def _substitute_labels(
 
 
 def scalable_rank(
-    df: DataFrame, key: str = "key", start: int = 1, idx_col: str = "idx"
+    df: DataFrame, key: str = "key", start: int = 1, idx_col: str = "idx",
+    small_rows: int | None = None,
 ) -> DataFrame:
-    """Deterministic dense global rank by `key` WITHOUT a single-
-    partition exchange (the Window.orderBy scale-killer): range-
-    repartition on the key, per-partition row_number, then add the
-    cumulative partition-size offset (tiny driver-side census — one row
-    per partition, never per key). Total order over a range partition
-    is the global sort order, so the rank equals row_number() over a
-    global sort, at shuffle cost O(n/p) per task."""
+    """Deterministic dense global rank by `key`, size-adaptive.
+
+    At or below `small_rows` (default adaptive.small_input_rows; env
+    VEEALIGN_SMALL_INPUT_ROWS) a plain ``row_number() over (order by
+    key)`` runs — one partition is correct AND fastest there (one pass,
+    no census jobs). Above it, the scale path: range-repartition on the
+    key, per-partition row_number, then add the cumulative partition-
+    size offset (tiny driver census — one row per PARTITION, never per
+    key), so no corpus-sized table crosses a single-partition exchange
+    (the Window.orderBy scale-killer). Total order over a range
+    partition is the global sort order, so both paths equal
+    row_number() over a global sort.
+
+    The input is persisted so the size probe and the rank read one
+    upstream compute (upstream here is usually the embed UDF / term-
+    universe distinct — the expensive part)."""
+    if small_rows is None:
+        small_rows = adaptive.small_input_rows()
     spark = df.sparkSession
+    df = df.persist()
+    if df.count() <= small_rows:
+        return df.withColumn(
+            idx_col,
+            (F.row_number().over(Window.orderBy(key)) + F.lit(start - 1)).cast("long"),
+        )
     n = max(spark.sparkContext.defaultParallelism, 2)
     ranked = (
         df.repartitionByRange(n, key)
@@ -123,6 +144,7 @@ def build_embeddings_table(
     dim: int,
     concepts: DataFrame | None = None,
     label_map: DataFrame | None = None,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed embeddings dim table (EMBEDDINGS schema): normalized
     term -> (idx, vec). Deterministic: idx assigned by sorted term rank
@@ -130,9 +152,9 @@ def build_embeddings_table(
     stays reserved for the all-zero <UNK>/pad row — the row-0-zeros
     invariant, data_preprocessing.py:201,245."""
     embed = embed_udf_factory(dim)
+    base = terms if terms is not None else term_universe(triples, concepts, label_map)
     norm = (
-        term_universe(triples, concepts, label_map)
-        .select(norm_label_col(F.col("term")).alias("key"))
+        base.select(norm_label_col(F.col("term")).alias("key"))
         .filter(F.col("key") != "")
         .distinct()
     )
@@ -149,12 +171,14 @@ class EmbBroadcast:
     """
 
     def __init__(self, spark: SparkSession, emb_df: DataFrame, max_rows: int = 5_000_000):
-        n = emb_df.count()
-        if n > max_rows:
+        # limit-probe guard: costs one early-terminating job instead of
+        # a full count (which would compute the whole embed-UDF plan
+        # twice — once for the count, once for the toPandas)
+        if emb_df.limit(max_rows + 1).count() > max_rows:
             raise ValueError(
-                f"EmbBroadcast over {n} terms would collect the whole "
-                "vocabulary to the driver — use the pre-joined path "
-                "(vector_mode='prejoined') instead"
+                f"EmbBroadcast over more than {max_rows} terms would "
+                "collect the whole vocabulary to the driver — use the "
+                "pre-joined path (vector_mode='prejoined') instead"
             )
         pdf = emb_df.select("key", "idx", "vec").toPandas().sort_values("idx")
         vocab = pdf["key"].tolist()
@@ -167,7 +191,16 @@ class EmbBroadcast:
         self.bc = sc.broadcast({"indexer": indexer, "matrix": mat})
 
     @classmethod
-    def from_terms(cls, spark: SparkSession, terms: list[str], dim: int) -> "EmbBroadcast":
+    def from_terms(
+        cls, spark: SparkSession, terms: list[str], dim: int,
+        max_rows: int = 5_000_000,
+    ) -> "EmbBroadcast":
+        if len(terms) > max_rows:
+            raise ValueError(
+                f"EmbBroadcast.from_terms over {len(terms)} terms exceeds "
+                f"max_rows={max_rows} — use the pre-joined path "
+                "(vector_mode='prejoined') instead"
+            )
         keys = sorted({normalize_term(t) for t in terms} - {""})
         mat = np.vstack([np.zeros((1, dim)), embed_terms_np(keys, dim)])
         obj = cls.__new__(cls)

@@ -52,7 +52,7 @@ class PipelineConfig:
     # "prejoined": vectors JOIN onto features/candidates from the
     # distributed dim table — no driver collect, unbounded vocabulary.
     # "auto": broadcast below vocab_broadcast_threshold distinct terms.
-    vector_mode: str = "broadcast"  # "broadcast" | "prejoined" | "auto"
+    vector_mode: str = "auto"  # "auto" | "broadcast" | "prejoined"
     vocab_broadcast_threshold: int = 2_000_000
     # "seeded" (fixture-pinned gaussian projection) | "identity"
     # (residual rep = node + ctx_gain*context — the untrained default
@@ -99,7 +99,9 @@ class StageLedger:
         p = self._path(name)
         t0 = time.time()
         if p is None:
-            df = df.localCheckpoint(eager=True)
+            # lazy checkpoint + count = ONE job materializes the stage
+            # (eager=True would pay a second, separate job per stage)
+            df = df.localCheckpoint(eager=False)
             n = df.count()
             self.metrics.append({"stage": name, "rows": n, "sec": time.time() - t0})
             return df
@@ -227,25 +229,38 @@ def run_pipeline(
         props = props_from_triples(triples)
 
     # embedding layout: broadcast (indexer, matrix) vs pre-joined
-    # distributed dim table (see PipelineConfig.vector_mode)
+    # distributed dim table (see PipelineConfig.vector_mode). The term
+    # universe is persisted so the auto-routing size probe and the
+    # broadcast collect share ONE upstream compute; the collect only
+    # ever runs once the count has proven the vocabulary broadcastable
+    # (no unguarded driver collect on any path).
     vector_mode = cfg.vector_mode
-    if vector_mode == "auto":
-        n_terms = scoring.term_universe(triples, concepts, label_map).count()
-        vector_mode = (
-            "broadcast" if n_terms <= cfg.vocab_broadcast_threshold else "prejoined"
-        )
     emb_bc = None
     emb_table = None
+    tu = None
+    if vector_mode in ("auto", "broadcast"):
+        tu = scoring.term_universe(triples, concepts, label_map).persist()
+        n_terms = tu.count()
+        if vector_mode == "auto":
+            vector_mode = (
+                "broadcast" if n_terms <= cfg.vocab_broadcast_threshold else "prejoined"
+            )
+        elif n_terms > cfg.vocab_broadcast_threshold:
+            raise ValueError(
+                f"vector_mode='broadcast' over {n_terms} distinct terms "
+                f"(> vocab_broadcast_threshold={cfg.vocab_broadcast_threshold}) "
+                "would collect the whole vocabulary to the driver — use "
+                "vector_mode='auto' or 'prejoined'"
+            )
     if vector_mode == "broadcast":
-        terms = [
-            r["term"]
-            for r in scoring.term_universe(triples, concepts, label_map).collect()
-        ]
+        terms = [r["term"] for r in tu.collect()]
         emb_bc = scoring.EmbBroadcast.from_terms(spark, terms, cfg.emb_dim)
     else:
         emb_table = scoring.build_embeddings_table(
-            spark, triples, cfg.emb_dim, concepts, label_map
+            spark, triples, cfg.emb_dim, concepts, label_map, terms=tu
         )
+    if tu is not None and vector_mode == "broadcast":
+        tu.unpersist()
 
     # candidate generation: ALL source pairs in one plan node — pairs
     # are data (self-join on src1 < src2), not per-pair Python unions,
@@ -288,7 +303,10 @@ def run_pipeline(
     # AQE coalesces the (byte-wise tiny) candidate table to very few
     # partitions, which would serialize the CPU-heavy scoring UDF —
     # explicitly re-spread across the cluster before the kernel
-    n_score = cfg.score_partitions or spark.sparkContext.defaultParallelism * 2
+    # one task wave, maximal Arrow batch size: per-row kernel cost is
+    # uniform, so parallelism*1 partitions beat *2 (half the python
+    # worker round-trips for the same core occupancy)
+    n_score = cfg.score_partitions or spark.sparkContext.defaultParallelism
     candidates_df = candidates_df.repartition(n_score)
     prop_cand = prop_cand.repartition(max(n_score // 4, 2))
 
@@ -365,5 +383,6 @@ def run_pipeline(
         "metrics": ledger.metrics,
         "params": params,
         "threshold": threshold,
+        "vector_mode": vector_mode,
         **kg,
     }
