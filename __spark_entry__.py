@@ -8,10 +8,12 @@ entry(spark)   — flagship KG-construction run: verbalizes the sf0.001
                  accepted alignments.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  the training-data-pipeline operators).
-oracle_sql()   — DuckDB-runnable ANSI SQL equivalents; non-SQL-
-                 expressible ops (the dual-attention kernel pipeline,
-                 LSH bucketing with seeded hyperplanes) are listed in
-                 queries() without an oracle -> rows-only check.
+oracle_sql()   — DuckDB-runnable ANSI SQL equivalents. Seeded LSH
+                 hyperplanes are literals, so the LSH queries inline
+                 them into generated SQL; blocked candidates replicate
+                 the normalization + token join. The one remaining
+                 rows-only query is ann_ivf_topk (MLlib KMeans is not
+                 SQL-expressible; recall/cost pinned in pytest).
 """
 
 from __future__ import annotations
@@ -339,8 +341,9 @@ def q_ann_neardup(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (scale path; no SQL oracle —
-    seeded hyperplanes aren't expressible portably)."""
+    """LSH-bucketed approximate top-k (scale path). Oracle: the seeded
+    hyperplanes are literals, so the DuckDB oracle inlines them and
+    reproduces bucket + cosine + rank exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     return ann.lsh_topk(emb, dim=64, k=5, n_planes=8)
 
@@ -355,8 +358,8 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 def q_ann_lsh_multiprobe(spark, sf_dir):
     """Multi-table + hamming-1 multi-probe LSH top-k — the recall knob
-    over single-table LSH (recall/cost contract pinned in pytest; no
-    SQL oracle, seeded hyperplanes)."""
+    over single-table LSH (recall/cost contract pinned in pytest, AND
+    a full DuckDB oracle with the seeded planes inlined as literals)."""
     emb = _t(spark, sf_dir, "embeddings")
     return ann.lsh_topk_multiprobe(
         emb, dim=64, k=5, n_planes=10, n_tables=2, probe_bits=4
@@ -424,8 +427,12 @@ def q_tpch_q3_topk(spark, sf_dir):
 
 
 def q_kg_blocked_candidates(spark, sf_dir):
-    """J1': blocked candidate generation on testdata-derived concepts
-    (no SQL oracle — exercised for rows + stability)."""
+    """J1': blocked candidate generation on testdata-derived concepts.
+    Oracle: DuckDB re-verbalizes + re-extracts the triples (the
+    kg_extract_triples CTE), rebuilds the concept universes, replicates
+    norm_label_col token-by-token (RE2 has no lookaround, so the camel
+    boundary is two capture-group passes) and joins on shared tokens —
+    the full blocked candidate set as a hash-checked contract."""
     tr = _testdata_transcripts(spark, sf_dir)
     from veealign_spark.plans.pipeline import concepts_from_triples
     from veealign_spark.sources.transcripts import extract_mentions, mentions_to_triples
@@ -706,22 +713,8 @@ _GT_CONCEPTS = """
 """
 
 
-def oracle_sql() -> dict[str, str]:
-    return {
-        # the engine must emit EXACTLY the by-construction ground truth
-        # (tuned threshold, full pipeline) — a hard P=1/R=1 gate
-        "kg_alignments": f"""
-            SELECT ent1, ent2 FROM ({_GT_CONCEPTS}
-            UNION ALL
-            SELECT 'src1#rel_locatedIn', 'src2#rel_located_in') gt
-        """,
-        # blocked candidate generation must retain every ground-truth
-        # concept pair (blocking recall as a contract-level check)
-        "kg_blocking_recall": f"SELECT ent1, ent2 FROM ({_GT_CONCEPTS}) gt",
-        # re-verbalize the transcripts in SQL and run the SAME mention
-        # regex DuckDB-side — extraction parity end to end
-        "kg_extract_triples": r"""
-            WITH nat AS (
+_EXTRACT_TRIPLES_CTE = r"""
+            nat AS (
                 SELECT DISTINCT
                     regexp_replace(n.n_name, '[^A-Za-z0-9]', '_', 'g') AS nat,
                     regexp_replace(r.r_name, '[^A-Za-z0-9]', '_', 'g') AS reg
@@ -750,14 +743,76 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract(text, '([A-Za-z][A-Za-z0-9_]*)\s+(subclass_of|rel_[A-Za-z0-9_]+|attr_[A-Za-z0-9_]+)\s+([A-Za-z][A-Za-z0-9_]*)', 1) AS subj,
                        regexp_extract(text, '([A-Za-z][A-Za-z0-9_]*)\s+(subclass_of|rel_[A-Za-z0-9_]+|attr_[A-Za-z0-9_]+)\s+([A-Za-z][A-Za-z0-9_]*)', 2) AS pred,
                        regexp_extract(text, '([A-Za-z][A-Za-z0-9_]*)\s+(subclass_of|rel_[A-Za-z0-9_]+|attr_[A-Za-z0-9_]+)\s+([A-Za-z][A-Za-z0-9_]*)', 3) AS obj
-                FROM texts)
-            SELECT DISTINCT src, subj, pred, obj,
+                FROM texts),
+            t_ext AS (
+                SELECT DISTINCT src, subj, pred, obj,
                    CASE WHEN pred = 'subclass_of' THEN 'Subclass'
                         WHEN pred LIKE 'rel_%' THEN 'Object Property'
                         ELSE 'Datatype Property' END AS kind
-            FROM m
-            WHERE subj <> '' AND subj <> 'Thing' AND obj <> 'Thing'
+                FROM m
+                WHERE subj <> '' AND subj <> 'Thing' AND obj <> 'Thing')
+"""
+
+
+def _planes_values_sql(dim: int, n_planes: int, seed: int, tbl: int | None = None) -> str:
+    """Seeded hyperplanes as DuckDB VALUES rows — the planes are
+    literals (ann.hyperplanes), so the LSH bucketing is fully
+    expressible in SQL by inlining them (round-2 review item)."""
+    from veealign_spark.operators.ann import hyperplanes
+
+    H = hyperplanes(dim, n_planes, seed)
+    rows = []
+    for j in range(n_planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in H[j]) + "]"
+        rows.append(f"({tbl}, {j}, {lit})" if tbl is not None else f"({j}, {lit})")
+    return ",\n                ".join(rows)
+
+
+def _cos64_sql(a: str, b: str) -> str:
+    """round-to-6 cosine between two 64-dim list columns (matches
+    cosine_expr's double math; same form the ann_topk oracle uses)."""
+    return f"""round(
+                 list_sum(list_transform(generate_series(1, 64),
+                          i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+                 / greatest(
+                     sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+                   * sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))),
+                   1e-12), 6)"""
+
+
+# norm_label_col replicated in RE2-compatible SQL: RE2 has no
+# lookaround, so the camel boundary is two capture-group passes
+# (equivalent because pass-1 and pass-2 match sets are disjoint in
+# position and non-overlapping — see tests/test_text_norm.py lockstep)
+_NORM_TOKENS_SQL = r"""list_transform(
+                string_split(trim(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(regexp_replace(id, '[_-]', ' ', 'g'),
+                      '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+                    '([A-Z])([A-Z][a-z])', '\1 \2', 'g'),
+                  ' +', ' ', 'g')), ' '),
+                w -> CASE WHEN regexp_matches(w, '^[A-Z][A-Z0-9]+$')
+                          THEN w ELSE lower(w) END)"""
+
+
+def oracle_sql() -> dict[str, str]:
+    d = {
+        # the engine must emit EXACTLY the by-construction ground truth
+        # (tuned threshold, full pipeline) — a hard P=1/R=1 gate
+        "kg_alignments": f"""
+            SELECT ent1, ent2 FROM ({_GT_CONCEPTS}
+            UNION ALL
+            SELECT 'src1#rel_locatedIn', 'src2#rel_located_in') gt
         """,
+        # blocked candidate generation must retain every ground-truth
+        # concept pair (blocking recall as a contract-level check)
+        "kg_blocking_recall": f"SELECT ent1, ent2 FROM ({_GT_CONCEPTS}) gt",
+        # re-verbalize the transcripts in SQL and run the SAME mention
+        # regex DuckDB-side — extraction parity end to end
+        "kg_extract_triples": "WITH " + _EXTRACT_TRIPLES_CTE
+        + " SELECT src, subj, pred, obj, kind FROM t_ext",
         "a1_group_neighbours": """
             SELECT o_custkey AS custkey,
                    count(*) AS n_orders,
@@ -1188,3 +1243,78 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
     }
+    d["ann_lsh_topk"] = f"""
+        WITH planes(j, pw) AS (VALUES
+                {_planes_values_sql(64, 8, 11)}),
+        dots AS (
+            SELECT e.vec_id, p.j,
+                   list_sum(list_transform(generate_series(1, 64),
+                            i -> e.embedding[i]::DOUBLE * p.pw[i])) AS dot
+            FROM embeddings e CROSS JOIN planes p),
+        b AS (
+            SELECT vec_id,
+                   sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+            FROM dots GROUP BY vec_id),
+        e2 AS (SELECT b.vec_id, b.bucket, e.embedding
+               FROM b JOIN embeddings e USING (vec_id)),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_cos64_sql('q.embedding', 'c.embedding')} AS cos
+            FROM e2 q JOIN e2 c USING (bucket)
+            WHERE q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, rank, cos
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
+    """
+    d["ann_lsh_topk_multiprobe"] = f"""
+        WITH planes(tbl, j, pw) AS (VALUES
+                {_planes_values_sql(64, 10, 11, tbl=0)},
+                {_planes_values_sql(64, 10, 12, tbl=1)}),
+        dots AS (
+            SELECT e.vec_id, p.tbl, p.j,
+                   list_sum(list_transform(generate_series(1, 64),
+                            i -> e.embedding[i]::DOUBLE * p.pw[i])) AS dot
+            FROM embeddings e CROSS JOIN planes p),
+        home AS (
+            SELECT vec_id, tbl,
+                   sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+            FROM dots GROUP BY vec_id, tbl),
+        probes AS (
+            SELECT vec_id AS query_id, tbl, probe AS bucket
+            FROM home, unnest([bucket, xor(bucket, 1::BIGINT),
+                               xor(bucket, 2::BIGINT), xor(bucket, 4::BIGINT),
+                               xor(bucket, 8::BIGINT)]) AS u(probe)),
+        pairs AS (
+            SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+            FROM probes q JOIN home c ON q.tbl = c.tbl AND q.bucket = c.bucket
+            WHERE q.query_id <> c.vec_id),
+        scored AS (
+            SELECT p.query_id, p.neighbor_id,
+                   {_cos64_sql('eq.embedding', 'ec.embedding')} AS cos
+            FROM pairs p
+            JOIN embeddings eq ON eq.vec_id = p.query_id
+            JOIN embeddings ec ON ec.vec_id = p.neighbor_id)
+        SELECT query_id, neighbor_id, rank, cos
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
+    """
+    d["kg_blocked_candidates"] = f"""
+        WITH {_EXTRACT_TRIPLES_CTE},
+        con AS (
+            SELECT DISTINCT src, id FROM (
+                SELECT src, subj AS id FROM t_ext WHERE kind = 'Subclass'
+                UNION ALL SELECT src, obj FROM t_ext WHERE kind = 'Subclass'
+                UNION ALL SELECT src, subj FROM t_ext WHERE kind = 'Object Property'
+                UNION ALL SELECT src, obj FROM t_ext WHERE kind = 'Object Property'
+                UNION ALL SELECT src, subj FROM t_ext WHERE kind = 'Datatype Property')),
+        toks AS (
+            SELECT DISTINCT src, src || '#' || id AS key, tok
+            FROM con, unnest({_NORM_TOKENS_SQL}) AS u(tok)
+            WHERE tok <> '' AND tok <> 'has')
+        SELECT DISTINCT a.key AS ent1, b.key AS ent2
+        FROM toks a JOIN toks b ON a.tok = b.tok
+        WHERE a.src = 'src1' AND b.src = 'src2'
+    """
+    return d

@@ -382,3 +382,25 @@ def test_downsample_kept_rate_is_uniform(spark):
     for frac in (0.10, 0.25, 0.75):
         kept = sampling.downsample(df, frac, ["k"]).count() / n
         assert abs(kept - frac) < 0.02, (frac, kept)
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    """Degenerate corpus (identical vectors): every id lands in ONE
+    bucket per table, so an unguarded bucket join emits ~n^2 pairs on
+    one task. With max_bucket_size the candidate count is bounded by
+    n * cap * n_tables, and every query still receives a full top-k
+    from the capped (equally-similar) member set."""
+    from veealign_spark.operators import ann
+
+    n, cap, k = 400, 10, 3
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.5, 0.25, 0.125]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    cand = ann.lsh_candidates_multiprobe(
+        df, dim=4, n_planes=6, n_tables=2, max_bucket_size=cap
+    )
+    assert cand.count() <= n * cap * 2
+    out = ann.lsh_topk(df, dim=4, k=k, max_bucket_size=cap)
+    got = out.groupBy("query_id").count().collect()
+    assert len(got) == n and all(r["count"] == k for r in got)

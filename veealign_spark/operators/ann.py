@@ -115,6 +115,27 @@ def lsh_hyperplane_buckets(
     return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def _cap_bucket_members(nbr: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
+    """Hot-bucket guard for the ANN bucket joins (the dedup
+    star-reduction's sibling): keep at most `cap` neighbour-side
+    members per bucket, chosen by deterministic md5 order, so a
+    degenerate bucket (constant/zero vectors all hashing together, k
+    members) emits at most k*cap candidate pairs instead of k^2.
+    Queries are never dropped — every query still gets up to `cap`
+    candidates from its bucket, which for a degenerate bucket (all
+    members equally similar) is a recall-neutral cut. Task-level skew
+    of the remaining k*cap pairs is AQE skew-join territory (the
+    session config enables spark.sql.adaptive)."""
+    w = Window.partitionBy(*bucket_cols).orderBy(
+        F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id")
+    )
+    return (
+        nbr.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def lsh_candidates_multiprobe(
     embeddings: DataFrame,
     dim: int,
@@ -124,6 +145,7 @@ def lsh_candidates_multiprobe(
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate (query_id, neighbor_id, qv, cv) pairs via multi-table,
     multi-probe hyperplane LSH.
@@ -158,6 +180,8 @@ def lsh_candidates_multiprobe(
     )
     q = home.select(F.col("id").alias("query_id"), "tbl", probes.alias("bucket"))
     c = home.select(F.col("id").alias("neighbor_id"), "tbl", "bucket")
+    if max_bucket_size:
+        c = _cap_bucket_members(c, ["tbl", "bucket"], max_bucket_size)
     pairs = (
         q.join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -181,11 +205,13 @@ def lsh_topk_multiprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k with the multi-table / multi-probe candidate
     generator; exact cosine within candidates."""
     cand = lsh_candidates_multiprobe(
-        embeddings, dim, n_planes, n_tables, probe_bits, seed, id_col, vec_col
+        embeddings, dim, n_planes, n_tables, probe_bits, seed, id_col, vec_col,
+        max_bucket_size=max_bucket_size,
     )
     scored = cand.withColumn(
         "cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to)
@@ -215,6 +241,7 @@ def ivf_cells(
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_rows_per_cell: int = 256,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: k-means centroids (pyspark.ml KMeans,
     seeded) over the corpus; returns (corpus_cells, probe_cells) —
@@ -223,14 +250,22 @@ def ivf_cells(
     Cell assignment stays JVM-side: the centroid table is tiny and
     broadcast; distance is a zip_with/aggregate expression, so the only
     per-row cost is n_cells fused arithmetic ops — no Python, no UDF.
-    At 100 TB the centroids are trained on a sample (KMeans over the
-    full corpus is itself distributed, but a 1% sample is standard)."""
+    The centroids are trained on a seeded SAMPLE of the corpus, not
+    all of it: `train_rows_per_cell * n_cells` rows suffice for a
+    coarse quantizer, and fitting KMeans over the full corpus would
+    make the cheap index build cost a multiple of the scan at 100 TB
+    (small corpora below the target sample size train on everything,
+    so fixture results are unchanged)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = embeddings.sparkSession
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     train = e.select(array_to_vector(F.col("v").cast("array<double>")).alias("features"))
+    target = train_rows_per_cell * n_cells
+    n = train.count()
+    if n > target:
+        train = train.sample(fraction=min(1.0, 1.25 * target / n), seed=seed)
     model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
     centers_df = F.broadcast(
         spark.createDataFrame(
@@ -297,15 +332,21 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within LSH buckets.
-    The scale path — the cross join shrinks to bucket-local joins."""
+    The scale path — the cross join shrinks to bucket-local joins.
+    `max_bucket_size` caps the neighbour side of each bucket (see
+    _cap_bucket_members) so a degenerate bucket cannot emit k^2
+    pairs."""
     b = lsh_hyperplane_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
         b, "id"
     )
     a = e.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket")
     c = e.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    if max_bucket_size:
+        c = _cap_bucket_members(c, ["bucket"], max_bucket_size)
     scored = (
         a.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -108,7 +108,16 @@ def minhash_lsh_pairs(
     STAR-REDUCED — every member pairs with the bucket's min doc_id hub
     only (k-1 pairs). Cluster recovery downstream (connected
     components) is unchanged because the star spans the same component;
-    this keeps recall, unlike dropping hot buckets. The census is an
+    this keeps recall, unlike dropping hot buckets.
+
+    Return contract under `max_bucket_size`: `n_bands_agree` is then
+    only a LOWER bound on the true band-agreement count for pairs
+    touching capped buckets (non-hub pairs inside a hot bucket are
+    dropped entirely; hub pairs count only the bands where they met),
+    so est. Jaccard = n_agree/n_bands is biased low there. Callers
+    thresholding on n_bands_agree must either leave max_bucket_size
+    unset or recover clusters via the downstream connected-components
+    pass, for which the star is exact. The census is an
     aggregation of the signature table itself, co-partitioned with the
     join key, so the guard adds no extra shuffle of the big side (the
     census can be corpus-bucket-sized — never broadcast it)."""
