@@ -63,3 +63,23 @@ def test_lexicon_blocking_covers_matches(spark, ml_pair):
     ]
     covered = sum((a, b) in pairs for a, b in concept_gold)
     assert covered / len(concept_gold) >= 0.95
+
+
+def test_multifarm_real_pair_e2e(spark):
+    """Real multifarm fixtures e2e: cmt/sigkdd in de+en — the learned
+    coded-id -> English-label translation (trained on the SAME-ontology
+    de-en golds) must let the engine align the held-out CROSS-ontology
+    cross-lingual pairs. Pins the measured slice (micro F1 0.917); the
+    floor guards against silent translation-map or parser regressions."""
+    import os
+
+    from veealign_spark.plans import multifarm
+
+    ds = "/root/reference/datasets/multifarm"
+    if not os.path.isdir(ds):  # pragma: no cover - fixtures absent
+        pytest.skip("multifarm fixtures not available")
+    res = multifarm.evaluate_multifarm(
+        spark, ds, langs=["de", "en"], ontos=["cmt", "sigkdd"]
+    )
+    m = res["micro"]
+    assert m["tp"] >= 20 and m["f1"] >= 0.85, m

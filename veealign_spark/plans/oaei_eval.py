@@ -150,6 +150,8 @@ def evaluate_track(
     config: PipelineConfig | None = None,
     tune_on_gold: bool = True,
     one2one: bool = True,
+    triplets: list[tuple[str, str, str]] | None = None,
+    label_map: DataFrame | None = None,
 ) -> dict:
     """Whole-track evaluation in ONE pipeline run: every ontology with
     a gold file is loaded as a source, candidates span all source pairs
@@ -158,9 +160,12 @@ def evaluate_track(
     over the evaluated pairs (the reference evaluates exactly the pairs
     with gold files — train.py:13-25)."""
     cfg = config or reference_config()
-    triplets = conference_pairs(dataset_dir)
+    if triplets is None:
+        triplets = conference_pairs(dataset_dir)
     onto_paths = sorted({p for a, b, _ in triplets for p in (a, b)})
     tables = owl.ontology_tables(spark, onto_paths)
+    if label_map is None:
+        label_map = tables["labels"]
 
     gold_all = None
     eval_pairs = []
@@ -178,7 +183,7 @@ def evaluate_track(
         triples=tables["triples"],
         concepts=tables["concepts"],
         props=tables["props"],
-        label_map=tables["labels"],
+        label_map=label_map,
         config=cfg,
     )
     pair_df = spark.createDataFrame(eval_pairs, "src1 string, src2 string").distinct()
