@@ -59,8 +59,14 @@ class PipelineConfig:
     # for real inputs; see kernel_np.default_params)
     kernel_init: str = "seeded"
     ctx_gain: float = 0.3
+    # trained weights (operators.training.train_kernel) — when set,
+    # kernel_params() returns them verbatim (threshold included) and
+    # derive_types must match the n_types they were trained with
+    params_override: KernelParams | None = None
 
     def kernel_params(self) -> KernelParams:
+        if self.params_override is not None:
+            return self.params_override
         p = default_params(
             emb_dim=self.emb_dim,
             n_types=self.max_types,

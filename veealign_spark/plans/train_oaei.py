@@ -1,0 +1,405 @@
+"""Train the dual-attention kernel on an OAEI track and evaluate it.
+
+Protocols (both recorded in BENCH/OAEI.md):
+
+- "element" (the reference's default, config.ini ontology_split=False):
+  labeled pairs from ALL gold source pairs are shuffled and split
+  1-1/K train / 1/K validation at the element level; the trained
+  weights + tuned threshold then score the whole track. This is the
+  reference's published protocol (its ~0.73 F1 number) — note the
+  evaluation pairs overlap the training cells.
+- "ontology" (leak-free): K-fold over gold SOURCE PAIRS; each fold
+  trains on the other folds' pairs and is evaluated ONLY on its
+  held-out pairs with weights and threshold that never saw them;
+  micro P/R aggregates over all folds.
+
+Data preparation is the engine's distributed operators end to end
+(S1 parse, A1-A5 contexts, J1/J3 candidate labeling, T2 negative cap,
+T3 oversampling); the collected training batch is capped at
+max_false + positives rows. Optimization is operators.training
+(analytic-gradient MSE + Adam, reference train.py:520-640 semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from veealign_spark.operators import candidates as cand
+from veealign_spark.operators import contexts, kernel_np, sampling, scoring, training
+from veealign_spark.operators.kernel_np import KernelParams, default_params
+from veealign_spark.plans import oaei_eval
+from veealign_spark.plans.pipeline import PipelineConfig
+from veealign_spark.sources import owl
+from veealign_spark.sources.oaei import load_alignment_rdf
+
+
+def _labeled_pairs(universe: DataFrame, pair_df: DataFrame, gold: DataFrame) -> DataFrame:
+    """Cross product within the given source pairs, left-labeled by
+    gold (J1 + J3)."""
+    a = universe.select(F.col("src").alias("src1"), F.col("key").alias("ent1"))
+    b = universe.select(F.col("src").alias("src2"), F.col("key").alias("ent2"))
+    pairs = (
+        a.join(F.broadcast(pair_df.select("src1")), "src1")
+        .crossJoin(b.join(F.broadcast(pair_df.select("src2")), "src2"))
+        .join(F.broadcast(pair_df), ["src1", "src2"])
+        .select("ent1", "ent2")
+    )
+    return pairs.join(
+        gold.select("ent1", "ent2").withColumn("y", F.lit(True)), ["ent1", "ent2"], "left"
+    ).fillna(False, ["y"])
+
+
+def prepare_training(
+    spark: SparkSession,
+    tables: dict,
+    cfg: PipelineConfig,
+    gold_all: DataFrame,
+    pair_df: DataFrame,
+    max_false: int = 5000,
+    seed: int = 7,
+) -> dict:
+    """Spark-side prep -> collected numpy training arrays.
+
+    Returns {base_params, max_types, concept_rows, prop_rows,
+    node2, A2, y, prop_cos, prop_y, n_direct} where the arrays cover
+    every labeled pair with encodable features (pairs on the A6 direct
+    route carry no trainable parameters and are excluded from the
+    loss, as in the reference's KeyError fallback)."""
+    triples = tables["triples"]
+    concepts = tables["concepts"]
+    props = tables["props"]
+    label_map = tables["labels"]
+
+    ctx = contexts.build_contexts(
+        triples, bag_of_neighbours=cfg.bag_of_neighbours, max_pathlen=cfg.max_pathlen
+    )
+    max_types = (
+        max(contexts.derive_max_types(ctx), 1) if cfg.derive_types else cfg.max_types
+    )
+    features = contexts.assemble_features(
+        ctx, max_types, cfg.max_paths, cfg.max_pathlen
+    )
+    prop_ctx = contexts.build_prop_contexts(triples)
+
+    terms = [
+        r["term"]
+        for r in scoring.term_universe(triples, concepts, label_map).collect()
+    ]
+    emb_bc = scoring.EmbBroadcast.from_terms(spark, terms, cfg.emb_dim)
+    emb_idx = scoring.emb_index_df(spark, emb_bc)
+    enc = scoring.encode_features(
+        features, emb_idx, max_types, cfg.max_paths, cfg.max_pathlen,
+        label_map=label_map,
+    ).collect()
+    encp = scoring.encode_prop_contexts(prop_ctx, emb_idx, label_map=label_map).collect()
+
+    # labeled concept pairs (J1+J3): the FULL pool is collected for
+    # density-true threshold tuning (a threshold tuned on a balanced
+    # sample over-accepts by the negative:positive density ratio at
+    # track scale); the T2 negative cap applies only to the arrays the
+    # gradient sees
+    cn = cand.with_norm(concepts).select("src", "key")
+    gold_c = oaei_eval.orient_pairs(gold_all.select("ent1", "ent2"))
+    lab_c_full = _labeled_pairs(cn, pair_df, gold_c).localCheckpoint(eager=False)
+    c_full = [(r["ent1"], r["ent2"], bool(r["y"])) for r in lab_c_full.collect()]
+    lab_c = sampling.limit_negatives(lab_c_full, max_false, label_col="y", seed=seed)
+    c_rows = [(r["ent1"], r["ent2"], bool(r["y"])) for r in lab_c.collect()]
+
+    pn = cand.with_norm(props).select("src", "key", "kind")
+    lab_p = None
+    for kind in ("Object Property", "Datatype Property"):
+        lp = _labeled_pairs(pn.filter(F.col("kind") == kind), pair_df, gold_c)
+        lab_p = lp if lab_p is None else lab_p.unionByName(lp)
+    lab_p = lab_p.localCheckpoint(eager=False)
+    p_full = [(r["ent1"], r["ent2"], bool(r["y"])) for r in lab_p.collect()]
+    lab_p = sampling.limit_negatives(lab_p, max_false, label_col="y", seed=seed + 1)
+    p_rows = [(r["ent1"], r["ent2"], bool(r["y"])) for r in lab_p.collect()]
+
+    node_map = {
+        r["key"]: int(r["node_idx"])
+        for r in scoring.encode_node_idx(
+            cn.select("key").unionByName(pn.select("key")).distinct(),
+            emb_idx, label_map,
+        ).collect()
+    }
+
+    mat = emb_bc.bc.value["matrix"]
+    T, P, L = max_types, cfg.max_paths, cfg.max_pathlen
+    enc_map = {
+        r["key"]: (int(r["node_idx"]), np.asarray(r["fidx"], dtype=np.int64))
+        for r in enc
+    }
+    base = default_params(
+        emb_dim=cfg.emb_dim, n_types=max_types, max_paths=P, max_pathlen=L,
+        threshold=cfg.threshold, seed=cfg.params_seed, init=cfg.kernel_init,
+        ctx_gain=cfg.ctx_gain,
+    )
+    base.weighted_sum = cfg.weighted_sum
+
+    keep, n_direct = [], 0
+    for e1, e2, y in c_rows:
+        if e1 in enc_map and e2 in enc_map:
+            keep.append((e1, e2, y))
+        else:
+            n_direct += 1
+    node2 = np.zeros((len(keep), 2, cfg.emb_dim))
+    y_arr = np.array([float(k[2]) for k in keep])
+    A2 = np.zeros((len(keep), 2, T, L, cfg.emb_dim))
+    chunk = 512
+    for lo in range(0, len(keep), chunk):
+        part = keep[lo:lo + chunk]
+        for side in (0, 1):
+            ni = np.array([enc_map[k[side]][0] for k in part], dtype=np.int64)
+            fi = np.stack([enc_map[k[side]][1] for k in part]).reshape(-1, T, P, L)
+            node2[lo:lo + len(part), side] = mat[ni]
+            A2[lo:lo + len(part), side] = training.attended_tensor(
+                mat[ni], mat[fi], base
+            )
+
+    encp_map = {
+        r["key"]: (
+            np.atleast_1d(np.asarray(r["self_idx"], dtype=np.int64)),
+            np.asarray(r["dom_idx"], dtype=np.int64),
+            np.asarray(r["rng_idx"], dtype=np.int64),
+        )
+        for r in encp
+    }
+    pkeep = [(e1, e2, y) for e1, e2, y in p_rows if e1 in encp_map and e2 in encp_map]
+    agg = np.zeros((len(pkeep), 2, 3, cfg.emb_dim))
+    for i, (e1, e2, _y) in enumerate(pkeep):
+        for side, key in enumerate((e1, e2)):
+            for slot, idxs in enumerate(encp_map[key]):
+                agg[i, side, slot] = mat[idxs].sum(axis=0)
+    prop_cos = training.prop_cosines(agg) if len(pkeep) else np.zeros((0, 3))
+    prop_y = np.array([float(k[2]) for k in pkeep])
+
+    return {
+        "base_params": base,
+        "max_types": max_types,
+        "concept_keys": [(k[0], k[1]) for k in keep],
+        "node2": node2, "A2": A2, "y": y_arr,
+        "prop_cos": prop_cos, "prop_y": prop_y,
+        "n_direct": n_direct,
+        "emb_dim": cfg.emb_dim,
+        "mat": mat, "enc_map": enc_map, "encp_map": encp_map,
+        "node_map": node_map,
+        "c_full": c_full, "p_full": p_full,
+    }
+
+
+def score_full_pool(prep: dict, params: KernelParams) -> tuple[np.ndarray, np.ndarray]:
+    """Forward-only scores of the FULL labeled candidate pool (exact
+    kernel_np index path, chunked so the feature tensors never
+    materialize at once). Direct-route pairs score by raw name cosine
+    (A6), mirroring the pipeline."""
+    mat, enc_map, encp_map = prep["mat"], prep["enc_map"], prep["encp_map"]
+    node_map = prep["node_map"]
+    T, P, L = params.n_types, params.max_paths, params.max_pathlen
+    scores, labels = [], []
+    featurized = [r for r in prep["c_full"] if r[0] in enc_map and r[1] in enc_map]
+    direct = [r for r in prep["c_full"] if not (r[0] in enc_map and r[1] in enc_map)]
+    chunk = 4096
+    for lo in range(0, len(featurized), chunk):
+        part = featurized[lo:lo + chunk]
+        nodes = np.array(
+            [[enc_map[e1][0], enc_map[e2][0]] for e1, e2, _ in part], dtype=np.int64
+        )
+        feats = np.stack([
+            np.stack([enc_map[e1][1].reshape(T, P, L),
+                      enc_map[e2][1].reshape(T, P, L)])
+            for e1, e2, _ in part
+        ])
+        scores.append(kernel_np.score_concept_pairs(nodes, feats, mat, params))
+        labels.append(np.array([float(y) for _, _, y in part]))
+    if direct:
+        v1 = mat[[node_map.get(e1, 0) for e1, _, _ in direct]]
+        v2 = mat[[node_map.get(e2, 0) for _, e2, _ in direct]]
+        scores.append(kernel_np.direct_cosine(v1, v2))
+        labels.append(np.array([float(y) for _, _, y in direct]))
+    p_feat = [r for r in prep["p_full"] if r[0] in encp_map and r[1] in encp_map]
+    if p_feat:
+        agg = np.zeros((len(p_feat), 2, 3, prep["emb_dim"]))
+        for i, (e1, e2, _y) in enumerate(p_feat):
+            for side, key in enumerate((e1, e2)):
+                for slot, idxs in enumerate(encp_map[key]):
+                    agg[i, side, slot] = mat[idxs].sum(axis=0)
+        scores.append(kernel_np.score_property_pairs_emb(agg, params))
+        labels.append(np.array([float(y) for _, _, y in p_feat]))
+    p_direct = [r for r in prep["p_full"] if not (r[0] in encp_map and r[1] in encp_map)]
+    if p_direct:
+        v1 = mat[[node_map.get(e1, 0) for e1, _, _ in p_direct]]
+        v2 = mat[[node_map.get(e2, 0) for _, e2, _ in p_direct]]
+        scores.append(kernel_np.direct_cosine(v1, v2))
+        labels.append(np.array([float(y) for _, _, y in p_direct]))
+    return np.concatenate(scores), np.concatenate(labels)
+
+
+def element_split(
+    prep: dict, k: int = 5, fold: int = 0, seed: int = 7
+) -> tuple[training.TrainData, training.TrainData]:
+    """Reference element-level split (train.py:505-549): positives and
+    negatives shuffled and sliced separately; training positives
+    oversampled to 1:1 with negatives (T3); validation negatives
+    down-sampled to the validation-positive count."""
+    rng = np.random.default_rng(seed)
+
+    def split_idx(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        idx = np.flatnonzero(mask)
+        idx = idx[rng.permutation(len(idx))]
+        ratio = 1.0 / k
+        lo = int(ratio * fold * len(idx))
+        hi = int((ratio * fold + ratio) * len(idx))
+        return np.concatenate([idx[:lo], idx[hi:]]), idx[lo:hi]
+
+    t_tr, t_va = split_idx(prep["y"] == 1.0)
+    f_tr, f_va = split_idx(prep["y"] == 0.0)
+    pt_tr, pt_va = split_idx(prep["prop_y"] == 1.0)
+    pf_tr, pf_va = split_idx(prep["prop_y"] == 0.0)
+
+    def oversample(pos: np.ndarray, neg: np.ndarray) -> np.ndarray:
+        if len(pos) == 0:
+            return neg
+        reps = int(np.ceil(len(neg) / len(pos)))
+        return np.concatenate([np.tile(pos, reps)[: len(neg)], neg])
+
+    tr_idx = oversample(t_tr, f_tr)
+    ptr_idx = oversample(pt_tr, pf_tr)
+    va_idx = np.concatenate([t_va, f_va[rng.permutation(len(f_va))][: max(len(t_va), 1)]])
+    pva_idx = np.concatenate(
+        [pt_va, pf_va[rng.permutation(len(pf_va))][: max(len(pt_va), 1)]]
+    )
+    full = training.TrainData(
+        prep["node2"], prep["A2"], prep["y"], prep["prop_cos"], prep["prop_y"]
+    )
+    return full.slice(tr_idx, ptr_idx), full.slice(va_idx, pva_idx)
+
+
+def train_track(
+    spark: SparkSession,
+    dataset_dir: str,
+    config: PipelineConfig | None = None,
+    triplets: list | None = None,
+    max_false: int = 5000,
+    seed: int = 7,
+    **train_kw,
+) -> dict:
+    """Train on a track's gold (element-level split) and return the
+    trained KernelParams + training report."""
+    cfg = config or oaei_eval.reference_config()
+    if triplets is None:
+        triplets = oaei_eval.conference_pairs(dataset_dir)
+    onto_paths = sorted({p for a, b, _ in triplets for p in (a, b)})
+    tables = owl.ontology_tables(spark, onto_paths)
+    gold_all = None
+    pairs = []
+    for p1, p2, apath in triplets:
+        g = oaei_eval.gold_keys(load_alignment_rdf(spark, apath)).filter(
+            F.col("relation") == "="
+        )
+        gold_all = g if gold_all is None else gold_all.unionByName(g)
+        pairs.append(tuple(sorted((owl.ontology_name(p1), owl.ontology_name(p2)))))
+    pair_df = spark.createDataFrame(
+        sorted(set(pairs)), "src1 string, src2 string"
+    )
+    prep = prepare_training(
+        spark, tables, cfg, gold_all, pair_df, max_false=max_false, seed=seed
+    )
+    tr, va = element_split(prep, seed=seed)
+    params, report = training.train_kernel(
+        tr, va, prep["base_params"], seed=seed, **train_kw
+    )
+    # NOTE: the loop's threshold came from the BALANCED validation
+    # slice and over-accepts at track density (negatives outnumber
+    # positives ~500:1 at inference). Callers re-tune on a full
+    # candidate pool: evaluate_with_params(tune_on_gold=True) over the
+    # TRAINING pairs (distributed A9 sweep — fast), or score_full_pool
+    # + f1_sweep for a no-Spark exact twin (verified equal: both gave
+    # thr 0.873 / F1 0.732 on the conference track).
+    report["max_types"] = prep["max_types"]
+    report["n_train"] = len(tr.y)
+    report["n_val"] = len(va.y)
+    report["n_direct_excluded"] = prep["n_direct"]
+    return {"params": params, "report": report, "tables": tables}
+
+
+def evaluate_with_params(
+    spark: SparkSession,
+    dataset_dir: str,
+    params: KernelParams,
+    max_types: int,
+    triplets: list | None = None,
+    config: PipelineConfig | None = None,
+    tune_on_gold: bool = False,
+) -> dict:
+    """Score a track with frozen trained weights. tune_on_gold=False
+    (default) applies params.threshold verbatim — the held-out
+    protocol; True re-tunes the threshold on the evaluated pairs' gold
+    (used on TRAINING pairs to pick the fold threshold, and for the
+    reference-parity element protocol where the track is its own
+    validation set)."""
+    cfg = config or oaei_eval.reference_config()
+    cfg.params_override = params
+    cfg.derive_types = False
+    cfg.max_types = max_types
+    cfg.threshold = params.threshold
+    return oaei_eval.evaluate_track(
+        spark, dataset_dir, config=cfg, tune_on_gold=tune_on_gold,
+        triplets=triplets,
+    )
+
+
+def kfold_ontology_split(
+    spark: SparkSession,
+    dataset_dir: str,
+    k: int = 5,
+    seed: int = 7,
+    max_false: int = 5000,
+    **train_kw,
+) -> dict:
+    """Leak-free protocol: K folds over gold SOURCE PAIRS; each fold's
+    pairs are scored with weights + threshold trained only on the
+    other folds. Returns per-fold reports + pooled micro P/R."""
+    triplets = oaei_eval.conference_pairs(dataset_dir)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(triplets))
+    folds = [sorted(order[i::k]) for i in range(k)]
+    per_fold = []
+    tp = fp = fn = 0
+    for fi, hold in enumerate(folds):
+        hold_set = set(hold)
+        train_triplets = [t for i, t in enumerate(triplets) if i not in hold_set]
+        eval_triplets = [t for i, t in enumerate(triplets) if i in hold_set]
+        trained = train_track(
+            spark, dataset_dir, triplets=train_triplets,
+            max_false=max_false, seed=seed, **train_kw,
+        )
+        # fold threshold: distributed A9 sweep over the TRAINING
+        # pairs' full candidate pool (never the held-out pairs)
+        tune = evaluate_with_params(
+            spark, dataset_dir, trained["params"], trained["report"]["max_types"],
+            triplets=train_triplets, tune_on_gold=True,
+        )
+        trained["params"].threshold = tune["threshold"]
+        res = evaluate_with_params(
+            spark, dataset_dir, trained["params"], trained["report"]["max_types"],
+            triplets=eval_triplets,
+        )
+        m = res["micro"]
+        tp += m["tp"]; fp += m["fp"]; fn += m["fn"]
+        per_fold.append({
+            "fold": fi,
+            "eval_pairs": [f"{owl.ontology_name(a)}-{owl.ontology_name(b)}"
+                           for a, b, _ in eval_triplets],
+            "threshold": trained["params"].threshold,
+            "micro": m,
+        })
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {
+        "per_fold": per_fold,
+        "micro": {"tp": tp, "fp": fp, "fn": fn,
+                  "precision": prec, "recall": rec, "f1": f1},
+    }
