@@ -235,38 +235,46 @@ def run_pipeline(
         props = props_from_triples(triples)
 
     # embedding layout: broadcast (indexer, matrix) vs pre-joined
-    # distributed dim table (see PipelineConfig.vector_mode). The term
-    # universe is persisted so the auto-routing size probe and the
-    # broadcast collect share ONE upstream compute; the collect only
-    # ever runs once the count has proven the vocabulary broadcastable
-    # (no unguarded driver collect on any path).
+    # distributed dim table (see PipelineConfig.vector_mode). The
+    # size probe and the vocabulary fetch are ONE bounded job:
+    # limit(threshold+1).collect() — ≤ threshold+1 rows ever reach the
+    # driver, so an over-threshold vocabulary is detected WITHOUT an
+    # unbounded collect (the excess row routes to the pre-joined path
+    # or raises for explicit "broadcast"), and a broadcastable one is
+    # already in hand (no second pass).
     vector_mode = cfg.vector_mode
     emb_bc = None
     emb_table = None
+    timings: dict[str, float] = {}
+    t0 = time.time()
     tu = None
     if vector_mode in ("auto", "broadcast"):
+        cap = cfg.vocab_broadcast_threshold
+        # persisted so a pre-joined route reuses the distinct pass the
+        # probe already paid for (corpus-sized at 10^12 turns)
         tu = scoring.term_universe(triples, concepts, label_map).persist()
-        n_terms = tu.count()
-        if vector_mode == "auto":
-            vector_mode = (
-                "broadcast" if n_terms <= cfg.vocab_broadcast_threshold else "prejoined"
+        head = tu.limit(cap + 1).collect()
+        if len(head) <= cap:
+            vector_mode = "broadcast"
+            emb_bc = scoring.EmbBroadcast.from_terms(
+                spark, [r["term"] for r in head], cfg.emb_dim
             )
-        elif n_terms > cfg.vocab_broadcast_threshold:
+        elif cfg.vector_mode == "broadcast":
             raise ValueError(
-                f"vector_mode='broadcast' over {n_terms} distinct terms "
-                f"(> vocab_broadcast_threshold={cfg.vocab_broadcast_threshold}) "
+                f"vector_mode='broadcast' over more than {cap} distinct "
+                f"terms (> vocab_broadcast_threshold={cap}) "
                 "would collect the whole vocabulary to the driver — use "
                 "vector_mode='auto' or 'prejoined'"
             )
-    if vector_mode == "broadcast":
-        terms = [r["term"] for r in tu.collect()]
-        emb_bc = scoring.EmbBroadcast.from_terms(spark, terms, cfg.emb_dim)
-    else:
+        else:
+            vector_mode = "prejoined"
+    if vector_mode == "prejoined":
         emb_table = scoring.build_embeddings_table(
             spark, triples, cfg.emb_dim, concepts, label_map, terms=tu
         )
-    if tu is not None and vector_mode == "broadcast":
+    elif tu is not None:
         tu.unpersist()
+    timings["vocab"] = time.time() - t0
 
     # candidate generation: ALL source pairs in one plan node — pairs
     # are data (self-join on src1 < src2), not per-pair Python unions,
@@ -322,15 +330,26 @@ def run_pipeline(
     # pre-joined float64 vectors on the distributed-vocabulary path.
     # Entity-universe-sized dim tables, referenced twice each in the
     # scoring joins — materialize once.
+    t0 = time.time()
+    # the two dim-table materializations are independent tiny jobs —
+    # submit them concurrently (Spark schedulers accept jobs from
+    # multiple driver threads; this halves the fixed job latency)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _eager(df):
+        return df.localCheckpoint(eager=True)
+
     if vector_mode == "broadcast":
         emb_idx = scoring.emb_index_df(spark, emb_bc)
-        enc_feats = scoring.encode_features(
-            features, emb_idx, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
-            label_map=label_map,
-        ).localCheckpoint(eager=True)
-        enc_props = scoring.encode_prop_contexts(
-            prop_ctx, emb_idx, label_map=label_map
-        ).localCheckpoint(eager=True)
+        with ThreadPoolExecutor(2) as _ex:
+            _f = _ex.submit(_eager, scoring.encode_features(
+                features, emb_idx, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
+                label_map=label_map,
+            ))
+            _p = _ex.submit(_eager, scoring.encode_prop_contexts(
+                prop_ctx, emb_idx, label_map=label_map
+            ))
+            enc_feats, enc_props = _f.result(), _p.result()
         scores_c = scoring.score_concept_candidates_fast(
             candidates_df, enc_feats, emb_bc, params, cfg.max_types,
             label_map=label_map,
@@ -339,13 +358,15 @@ def run_pipeline(
             prop_cand, enc_props, emb_bc, params, label_map=label_map
         ).withColumn("is_prop", F.lit(True))
     else:
-        enc_feats = scoring.encode_features_vec(
-            features, emb_table, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
-            dim=cfg.emb_dim, label_map=label_map,
-        ).localCheckpoint(eager=True)
-        enc_props = scoring.encode_prop_contexts_vec(
-            prop_ctx, emb_table, dim=cfg.emb_dim, label_map=label_map
-        ).localCheckpoint(eager=True)
+        with ThreadPoolExecutor(2) as _ex:
+            _f = _ex.submit(_eager, scoring.encode_features_vec(
+                features, emb_table, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
+                dim=cfg.emb_dim, label_map=label_map,
+            ))
+            _p = _ex.submit(_eager, scoring.encode_prop_contexts_vec(
+                prop_ctx, emb_table, dim=cfg.emb_dim, label_map=label_map
+            ))
+            enc_feats, enc_props = _f.result(), _p.result()
         scores_c = scoring.score_concept_candidates_prejoined(
             candidates_df, enc_feats, emb_table, params, cfg.max_types,
             dim=cfg.emb_dim, label_map=label_map,
@@ -354,6 +375,7 @@ def run_pipeline(
             prop_cand, enc_props, emb_table, params,
             dim=cfg.emb_dim, label_map=label_map,
         ).withColumn("is_prop", F.lit(True))
+    timings["encode"] = time.time() - t0
     scores = ledger.stage("scores", lambda: scores_c.unionByName(scores_p))
 
     threshold = params.threshold
@@ -390,5 +412,6 @@ def run_pipeline(
         "params": params,
         "threshold": threshold,
         "vector_mode": vector_mode,
+        "unstaged_timings": timings,
         **kg,
     }
