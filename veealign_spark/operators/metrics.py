@@ -68,9 +68,18 @@ def pr_curve(
         ["ent1", "ent2"],
         "left",
     ).fillna(0, ["y"]).persist()
-    n_gold = gold.select("ent1", "ent2").dropDuplicates().count()
+    # the gold census and the size probe are independent jobs —
+    # overlap them (concurrent submission from two driver threads)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as _ex:
+        _g = _ex.submit(
+            lambda: gold.select("ent1", "ent2").dropDuplicates().count()
+        )
+        _n = _ex.submit(labeled.count)
+        n_gold, n_labeled = _g.result(), _n.result()
     spark = scores.sparkSession
-    if labeled.count() <= small_rows:
+    if n_labeled <= small_rows:
         w = Window.orderBy(F.col("score").desc()).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
