@@ -426,6 +426,33 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_text_spellcheck(spark, sf_dir):
+    """S5 re-expressed: SymSpell deletion-join spellchecker. The
+    synthetic documents have a CLOSED vocabulary (no real typos), so
+    the query derives them deterministically: every dictionary word of
+    length >= 5 is corrupted by deleting the character at an
+    md5-picked position (portable hexval arithmetic — identical in
+    DuckDB), and the spellchecker must resolve each corrupted form
+    back to an edit-distance-1 dictionary word by the deletion-
+    neighborhood join + levenshtein + frequency ranking. The oracle
+    replicates corruption and recovery exactly."""
+    from veealign_spark.operators import spellcheck
+
+    docs = _t(spark, sf_dir, "documents")
+    dic = spellcheck.corpus_dictionary(docs, min_freq=5)
+    w = F.col("word")
+    a = F.ascii(F.substring(F.md5(w), 1, 1))
+    hexv = a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+    pos = (hexv % F.length(w)) + 1
+    corrupted = F.concat(
+        w.substr(F.lit(1), pos - 1), w.substr(pos + 1, F.length(w))
+    )
+    toks = dic.filter(F.length("word") >= 5).select(corrupted.alias("token"))
+    return spellcheck.spellcheck_corrections(toks, dic).select(
+        "token", "corrected", F.col("freq").cast("long").alias("freq")
+    )
+
+
 def q_kg_blocked_candidates(spark, sf_dir):
     """J1': blocked candidate generation on testdata-derived concepts.
     Oracle: DuckDB re-verbalizes + re-extracts the triples (the
@@ -673,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "text_spellcheck": q_text_spellcheck,
         "text_fingerprint": q_text_fingerprint,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1316,5 +1344,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.key AS ent1, b.key AS ent2
         FROM toks a JOIN toks b ON a.tok = b.tok
         WHERE a.src = 'src1' AND b.src = 'src2'
+    """
+    d["text_spellcheck"] = """
+        WITH toks0 AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents
+        ),
+        dict AS (
+            SELECT word, count(*) AS freq FROM toks0
+            GROUP BY 1 HAVING count(*) >= 5
+        ),
+        corrupt AS (
+            SELECT substr(word, 1, pos - 1) || substr(word, pos + 1) AS token
+            FROM (
+                SELECT word,
+                       ((ascii(substr(md5(word), 1, 1))
+                         - CASE WHEN ascii(substr(md5(word), 1, 1)) >= 97
+                                THEN 87 ELSE 48 END) % length(word)) + 1 AS pos
+                FROM dict WHERE length(word) >= 5)
+        ),
+        unk AS (
+            SELECT DISTINCT token FROM corrupt
+            WHERE length(token) >= 4
+              AND token NOT IN (SELECT word FROM dict)
+        ),
+        tkeys AS (
+            SELECT token, k FROM unk, unnest(list_distinct(list_append(
+                list_transform(range(1, length(token) + 1),
+                               i -> substr(token, 1, i - 1) || substr(token, i + 1)),
+                token))) AS u(k)
+            WHERE k <> ''
+        ),
+        dkeys AS (
+            SELECT word, freq, k FROM dict, unnest(list_distinct(list_append(
+                list_transform(range(1, length(word) + 1),
+                               i -> substr(word, 1, i - 1) || substr(word, i + 1)),
+                word))) AS u(k)
+            WHERE k <> ''
+        ),
+        cand AS (
+            SELECT DISTINCT token, word, freq
+            FROM tkeys JOIN dkeys USING (k)
+            WHERE levenshtein(token, word) <= 1
+        )
+        SELECT token, corrected, freq FROM (
+            SELECT token, word AS corrected, freq,
+                   row_number() OVER (PARTITION BY token
+                                      ORDER BY freq DESC, word) AS rn
+            FROM cand) WHERE rn = 1
     """
     return d

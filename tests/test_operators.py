@@ -404,3 +404,45 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     out = ann.lsh_topk(df, dim=4, k=k, max_bucket_size=cap)
     got = out.groupBy("query_id").count().collect()
     assert len(got) == n and all(r["count"] == k for r in got)
+
+
+def test_spellcheck_corrections_and_text(spark):
+    """S5 re-expression: unknown tokens map to their edit-distance-1
+    dictionary word (highest frequency wins), short tokens are never
+    touched, and in-text correction preserves token order."""
+    from veealign_spark.operators import spellcheck
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+        + [(99, "the quik brown foxx jumps")],
+        "doc_id long, text string",
+    )
+    dic = spellcheck.corpus_dictionary(docs, min_freq=5)
+    toks = spark.createDataFrame(
+        [("quik",), ("foxx",), ("zzzzz",), ("teh",)], "token string"
+    )
+    corr = {r["token"]: r["corrected"]
+            for r in spellcheck.spellcheck_corrections(toks, dic).collect()}
+    assert corr["quik"] == "quick" and corr["foxx"] == "fox"
+    assert "zzzzz" not in corr          # no distance-1 candidate
+    assert "teh" not in corr            # below min_len — never corrected
+    out = {r["id"]: r["corrected_text"]
+           for r in spellcheck.spellcheck_text(docs, dic).collect()}
+    assert out[99] == "the quick brown fox jumps"
+
+
+def test_spellcheck_prefers_frequent_candidate(spark):
+    from veealign_spark.operators import spellcheck
+
+    dic = spark.createDataFrame(
+        [("mode", 100), ("made", 3), ("node", 100)], "word string, freq long"
+    )
+    toks = spark.createDataFrame([("made_",)], "token string").select(
+        F.regexp_replace("token", "_", "").alias("token")
+    )
+    # "made" IS in the dictionary -> untouched (absent from corrections)
+    assert spellcheck.spellcheck_corrections(toks, dic).count() == 0
+    toks2 = spark.createDataFrame([("mude",)], "token string")
+    got = spellcheck.spellcheck_corrections(toks2, dic).collect()
+    # distance-1 candidates: mode(100) and made(3) -> mode wins
+    assert len(got) == 1 and got[0]["corrected"] == "mode"
