@@ -8,12 +8,16 @@ entry(spark)   — flagship KG-construction run: verbalizes the sf0.001
                  accepted alignments.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  the training-data-pipeline operators).
-oracle_sql()   — DuckDB-runnable ANSI SQL equivalents. Seeded LSH
-                 hyperplanes are literals, so the LSH queries inline
-                 them into generated SQL; blocked candidates replicate
-                 the normalization + token join. The one remaining
-                 rows-only query is ann_ivf_topk (MLlib KMeans is not
-                 SQL-expressible; recall/cost pinned in pytest).
+oracle_sql()   — DuckDB-runnable ANSI SQL equivalents for EVERY
+                 query. Seeded LSH hyperplanes are literals inlined
+                 into generated SQL; blocked candidates replicate the
+                 normalization + token join; IVF uses the portable
+                 quantizer (deterministic sampled numpy k-means whose
+                 centroid literals both engines share — the MLlib
+                 variant stays as the cluster-scale fit, pinned in
+                 pytest). Data-derived oracles read
+                 $SPARK_GRAFT_ORACLE_SF_DIR (default sf0.01, the
+                 driver's gate scale).
 """
 
 from __future__ import annotations
@@ -348,12 +352,37 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann.lsh_topk(emb, dim=64, k=5, n_planes=8)
 
 
+def _ivf_portable_centroids(sf_dir: str, n_cells: int = 16, seed: int = 11,
+                            target: int = 4096):
+    """Engine-independent IVF coarse centroids: a deterministic bounded
+    sample of the embeddings (md5-ordered LIMIT — any engine computes
+    the identical set), sorted by vec_id, then the seeded pure-numpy
+    kmeans (ann.kmeans_portable). The Spark query and the generated
+    DuckDB oracle both call THIS function, so the centroid literals are
+    identical by construction and the whole IVF plan reduces to
+    literals + arithmetic under the hash gate."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"""SELECT embedding FROM '{sf_dir}/embeddings.parquet'
+            ORDER BY md5('ivf|' || vec_id::VARCHAR), vec_id LIMIT {target}"""
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    return ann.kmeans_portable(X, n_cells, seed)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k: seeded k-means coarse quantizer +
-    n_probe cell probing (no SQL oracle — MLlib KMeans; recall/cost
-    contract pinned in pytest)."""
+    """IVF approximate top-k with the PORTABLE quantizer: deterministic
+    sampled numpy k-means centroids shipped as literals, JVM-side cell
+    assignment (L2 rounded to 6 dp before ranking so the argmin is
+    stable across engines), n_probe cell probing, exact cosine within
+    cells — the full DuckDB oracle replicates every step. The
+    MLlib-KMeans variant (ann.ivf_topk) remains the cluster-scale
+    distributed fit, recall/cost-pinned in pytest."""
+    cent = _ivf_portable_centroids(sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    return ann.ivf_topk(emb, k=5, n_cells=16, n_probe=2)
+    return ann.ivf_topk_portable(emb, cent, k=5, n_probe=2)
 
 
 def q_ann_lsh_multiprobe(spark, sf_dir):
@@ -1392,5 +1421,38 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY token
                                       ORDER BY freq DESC, word) AS rn
             FROM cand) WHERE rn = 1
+    """
+    import os
+
+    _ivf_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    _cent = _ivf_portable_centroids(_ivf_sf)
+    _cent_rows = ",\n                ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in c) + "])"
+        for i, c in enumerate(_cent)
+    )
+    d["ann_ivf_topk"] = f"""
+        WITH centers(cell, cv) AS (VALUES
+                {_cent_rows}),
+        dists AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                        i -> (e.embedding[i]::DOUBLE - c.cv[i])
+                           * (e.embedding[i]::DOUBLE - c.cv[i]))), 6) AS d
+            FROM embeddings e CROSS JOIN centers c),
+        r AS (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM dists),
+        home AS (SELECT vec_id, embedding, cell FROM r WHERE rn = 1),
+        probe AS (SELECT vec_id, embedding, cell FROM r WHERE rn <= 2),
+        scored AS (
+            SELECT DISTINCT q.vec_id AS query_id, h.vec_id AS neighbor_id,
+                   {_cos64_sql('q.embedding', 'h.embedding')} AS cos
+            FROM probe q JOIN home h USING (cell)
+            WHERE q.vec_id <> h.vec_id)
+        SELECT query_id, neighbor_id, rank, cos
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
     """
     return d

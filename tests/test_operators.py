@@ -446,3 +446,25 @@ def test_spellcheck_prefers_frequent_candidate(spark):
     got = spellcheck.spellcheck_corrections(toks2, dic).collect()
     # distance-1 candidates: mode(100) and made(3) -> mode wins
     assert len(got) == 1 and got[0]["corrected"] == "mode"
+
+
+def test_portable_ivf_deterministic_and_complete(spark):
+    """The portable IVF quantizer is seed-deterministic (same centroids
+    bit-for-bit) and every query receives a full top-k."""
+    import numpy as np
+
+    from veealign_spark.operators import ann
+
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((300, 8))
+    c1 = ann.kmeans_portable(X, 8, seed=11)
+    c2 = ann.kmeans_portable(X, 8, seed=11)
+    np.testing.assert_array_equal(c1, c2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ann.ivf_topk_portable(df, c1, k=3, n_probe=2)
+    counts = {r["query_id"]: r["count"]
+              for r in out.groupBy("query_id").count().collect()}
+    assert len(counts) == 120 and all(v == 3 for v in counts.values())

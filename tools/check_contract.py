@@ -71,6 +71,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-derived oracles (portable IVF centroids) must read the same
+    # scale factor this check runs at
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("contract-check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:

@@ -323,6 +323,101 @@ def ivf_topk(
     )
 
 
+def kmeans_portable(
+    X: "np.ndarray", n_cells: int, seed: int = 11, max_iter: int = 25
+) -> "np.ndarray":
+    """Deterministic engine-independent k-means (seeded kmeans++ init +
+    Lloyd, float64). Used by the PORTABLE IVF quantizer: the coarse
+    centroids come from a bounded, md5-bucket-sampled row set that any
+    engine reproduces, so the whole IVF query becomes expressible as
+    literals + arithmetic and lands under the DuckDB hash oracle
+    (MLlib's KMeans|| is seeded per-JVM and not reproducible outside
+    Spark — fine for the cluster-scale fit, useless for an oracle)."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, dtype=np.float64)
+    n = len(X)
+    k = min(n_cells, n)
+    # kmeans++ init
+    centers = [X[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((X - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        tot = d2.sum()
+        if tot <= 0:
+            centers.append(X[int(rng.integers(n))])
+            continue
+        centers.append(X[int(np.searchsorted(np.cumsum(d2 / tot), rng.random()))])
+    C = np.array(centers)
+    for _ in range(max_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        newC = np.array(
+            [X[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+             for j in range(k)]
+        )
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+def ivf_topk_portable(
+    embeddings: DataFrame,
+    centroids: "np.ndarray",
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    dist_round: int = 6,
+) -> DataFrame:
+    """IVF top-k with caller-provided centroid literals: cell
+    assignment is a pure expression (centroid table broadcast via a
+    literal VALUES-style DataFrame, L2 distances rounded to
+    `dist_round` before ranking so the argmin is stable across
+    engines' summation orders), probing and exact cosine identical to
+    ivf_topk. Fully DuckDB-expressible -> hash-oracled."""
+    spark = embeddings.sparkSession
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    centers_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, center array<double>",
+        )
+    )
+    assign = e.crossJoin(centers_df).withColumn(
+        "d", F.round(_l2_expr(F.col("v"), F.col("center")), dist_round)
+    )
+    w = Window.partitionBy("id").orderBy("d", "cell")
+    ranked = assign.withColumn("rn", F.row_number().over(w)).select(
+        "id", "v", "cell", "rn"
+    )
+    corpus_cells = ranked.filter(F.col("rn") == 1).drop("rn")
+    probe_cells = ranked.filter(F.col("rn") <= n_probe).drop("rn")
+    q = probe_cells.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    c = corpus_cells.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     dim: int,
