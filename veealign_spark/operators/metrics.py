@@ -22,11 +22,23 @@ from veealign_spark.operators import adaptive
 def pr_metrics(predicted: DataFrame, gold: DataFrame) -> DataFrame:
     """A8: one-row (tp, fp, fn, precision, recall, f1, f2, f05) for an
     accepted-pair set vs gold (formulas at train.py:219-224)."""
-    p = predicted.select("ent1", "ent2").dropDuplicates()
-    g = gold.select("ent1", "ent2").dropDuplicates()
-    tp = p.join(g, ["ent1", "ent2"], "left_semi").count()
-    fp = p.join(g, ["ent1", "ent2"], "left_anti").count()
-    fn = g.join(p, ["ent1", "ent2"], "left_anti").count()
+    p = predicted.select("ent1", "ent2").dropDuplicates().withColumn(
+        "pred", F.lit(1)
+    )
+    g = gold.select("ent1", "ent2").dropDuplicates().withColumn("act", F.lit(1))
+    # one full-outer join + one aggregate = ONE job for all three
+    # counts (semi/anti/anti was three)
+    row = (
+        p.join(g, ["ent1", "ent2"], "full")
+        .fillna(0, ["pred", "act"])
+        .agg(
+            F.sum(F.col("pred") * F.col("act")).alias("tp"),
+            F.sum(F.col("pred") * (1 - F.col("act"))).alias("fp"),
+            F.sum((1 - F.col("pred")) * F.col("act")).alias("fn"),
+        )
+        .first()
+    )
+    tp, fp, fn = int(row["tp"] or 0), int(row["fp"] or 0), int(row["fn"] or 0)
     spark = predicted.sparkSession
     prec = tp / (tp + fp) if tp + fp else 0.0
     rec = tp / (tp + fn) if tp + fn else 0.0
