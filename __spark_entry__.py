@@ -482,6 +482,20 @@ def q_text_spellcheck(spark, sf_dir):
     )
 
 
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: documents with doc_id % 97 == 0 play
+    the held-out eval corpus; every other document sharing >= 2
+    distinct word 3-grams with it is flagged (the n-gram-overlap
+    decontamination rule — dedup.cross_corpus_contamination)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.cross_corpus_contamination(
+        train_docs, bench_docs, n=3, min_shared=2
+    ).select(F.col("doc_id").cast("long").alias("doc_id"),
+             F.col("n_shared").cast("long").alias("n_shared"))
+
+
 def q_kg_blocked_candidates(spark, sf_dir):
     """J1': blocked candidate generation on testdata-derived concepts.
     Oracle: DuckDB re-verbalizes + re-extracts the triples (the
@@ -721,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_capped": q_dedup_minhash_capped,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_decontaminate": q_dedup_decontaminate,
         "ann_topk_cosine": q_ann_topk,
         "ann_cosine_neardup": q_ann_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1421,6 +1436,19 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY token
                                       ORDER BY freq DESC, word) AS rn
             FROM cand) WHERE rn = 1
+    """
+    d["dedup_decontaminate"] = f"""
+        WITH bsh AS (
+            SELECT DISTINCT shingle FROM (
+                SELECT unnest({_shingles(3)}) AS shingle
+                FROM documents WHERE doc_id % 97 = 0)),
+        tsh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id, unnest({_shingles(3)}) AS shingle
+                FROM documents WHERE doc_id % 97 <> 0))
+        SELECT doc_id, count(DISTINCT shingle) AS n_shared
+        FROM tsh JOIN bsh USING (shingle)
+        GROUP BY doc_id HAVING count(DISTINCT shingle) >= 2
     """
     import os
 

@@ -468,3 +468,26 @@ def test_portable_ivf_deterministic_and_complete(spark):
     counts = {r["query_id"]: r["count"]
               for r in out.groupBy("query_id").count().collect()}
     assert len(counts) == 120 and all(v == 3 for v in counts.values())
+
+
+def test_cross_corpus_contamination(spark):
+    """Decontamination flags exactly the training docs sharing >= k
+    distinct n-grams with the benchmark corpus."""
+    from veealign_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox went home"),          # shares 2 shingles
+            (2, "a completely different sentence here ok"),  # shares 0
+            (3, "quick brown fox jumps over something"),     # shares 3
+            (4, "the quick red fox jumps over"),             # shares 0 (3-grams differ)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_shared"]
+           for r in dedup.cross_corpus_contamination(train, bench, n=3, min_shared=2).collect()}
+    assert got == {1: 2, 3: 3}, got

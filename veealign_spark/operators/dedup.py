@@ -248,3 +248,31 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
+
+
+def cross_corpus_contamination(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Training-corpus DECONTAMINATION — the n-gram-overlap rule used
+    to scrub evaluation sets out of web-scale training data (the GPT-3
+    appendix-C 13-gram protocol family; PAPERS.md): a training document
+    is contaminated iff it shares at least `min_shared` DISTINCT word
+    n-grams with the benchmark corpus. Returns (doc_id, n_shared) for
+    contaminated documents.
+
+    Scale shape: the benchmark side (eval sets — tiny next to a 100 TB
+    training corpus) is shingled, deduplicated and broadcast-joinable;
+    the training side streams through the shingle equi-join with
+    map-side distinct inside the row (array_distinct in doc_shingles),
+    so state is benchmark-sized and work is corpus-proportional."""
+    d = doc_shingles(documents, n)
+    b = doc_shingles(benchmark, n).select("shingle").distinct()
+    return (
+        d.join(b, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
