@@ -411,6 +411,36 @@ def q_text_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_t(spark, sf_dir, "documents"), shingle_n=5)
 
 
+def q_text_redact(spark, sf_dir):
+    """PII redaction over the documents table. The synthetic corpus is
+    a closed alphabetic vocabulary (no real PII), so the query injects
+    deterministic PII spans derived from doc_id — an email always, a
+    phone for doc_id%2==0, an IPv4 for %3==0, an SSN for %5==0 — then
+    the operator must tag every span and count the substitutions. The
+    oracle replicates injection and the chained redaction exactly
+    (patterns are lookaround-free so Java regex and RE2 agree)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pad4 = F.lpad((d % 10000).cast("string"), 4, "0")
+    inj = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), d.cast("string"), F.lit("@example.com"),
+        F.when(d % 2 == 0, F.concat(F.lit(" call +1 (555) 123-"), pad4))
+         .otherwise(F.lit("")),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" host 10.0."), (d % 256).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" ssn 987-65-"), pad4))
+         .otherwise(F.lit("")),
+    )
+    injected = docs.select("doc_id", inj.alias("text"))
+    return textstats.redact_pii(injected)
+
+
+def q_text_repetition(spark, sf_dir):
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_sessionize(spark, sf_dir):
     return sessions.session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
 
@@ -746,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_spellcheck": q_text_spellcheck,
         "text_fingerprint": q_text_fingerprint,
+        "text_redact_pii": q_text_redact,
+        "text_repetition": q_text_repetition,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "windowed_counts": q_windowed_counts,
@@ -768,6 +800,41 @@ def _shingles(n: int) -> str:
         f"i -> array_to_string(({TOKS})[i:i+{n - 1}], ' ')) "
         f"ELSE [] END"
     )
+
+
+def _redact_oracle() -> str:
+    """DuckDB twin of q_text_redact: same doc_id-derived PII injection,
+    same pattern chain (generated from textstats.PII_PATTERNS so the
+    two sides cannot drift), counts taken against the same
+    partially-redacted stage each pattern sees."""
+    from veealign_spark.operators.textstats import PII_PATTERNS
+
+    stages = ["text"]
+    for tag, pat in PII_PATTERNS:
+        stages.append(f"regexp_replace({stages[-1]}, '{pat}', '<{tag}>', 'g')")
+    counts = " + ".join(
+        f"len(regexp_extract_all({stages[i]}, '{pat}'))"
+        for i, (_tag, pat) in enumerate(PII_PATTERNS)
+    )
+    return f"""
+            WITH inj AS (
+                SELECT doc_id,
+                       text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN ' call +1 (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               ELSE '' END AS text
+                FROM documents)
+            SELECT doc_id AS id, text,
+                   {stages[-1]} AS redacted,
+                   CAST({counts} AS BIGINT) AS n_redactions
+            FROM inj
+        """
 
 
 _GT_CONCEPTS = """
@@ -1267,6 +1334,21 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform({_shingles(5)}, s -> md5(s))) AS fingerprint,
                    len(list_distinct({_shingles(5)})) AS n_shingles
             FROM documents
+        """,
+        "text_redact_pii": _redact_oracle(),
+        "text_repetition": f"""
+            WITH dl AS (SELECT doc_id, lower(text) AS text FROM documents),
+            tok AS (SELECT doc_id, unnest({TOKS}) AS tokv FROM dl),
+            cnt AS (SELECT doc_id, tokv, count(*) AS c FROM tok GROUP BY 1, 2),
+            top AS (SELECT doc_id, max(c) / sum(c) AS top_token_frac
+                    FROM cnt GROUP BY 1),
+            d AS (SELECT doc_id,
+                         CASE WHEN len({_shingles(2)}) > 0
+                              THEN 1.0 - len(list_distinct({_shingles(2)})) / len({_shingles(2)})
+                              ELSE 0.0 END AS dup_2gram_frac
+                  FROM dl)
+            SELECT top.doc_id AS id, top_token_frac, dup_2gram_frac
+            FROM top JOIN d ON top.doc_id = d.doc_id
         """,
         "sessionize": """
             WITH g AS (

@@ -104,6 +104,45 @@ def test_quality_and_tokens(spark, docs):
     assert q[1]["type_token_ratio"] == 1.0
 
 
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.io thanks"),
+            (2, "ssn 123-45-6789 from host 10.0.0.1 call +1 (555) 123-4567"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in textstats.redact_pii(df).collect()}
+    assert out[1]["redacted"] == "mail me at <EMAIL> thanks"
+    assert out[1]["n_redactions"] == 1
+    # SSN/IPV4 tag before the greedy PHONE class reaches them
+    assert out[2]["redacted"] == "ssn <SSN> from host <IPV4> call <PHONE>"
+    assert out[2]["n_redactions"] == 3
+    assert out[3]["redacted"] == out[3]["text"]
+    assert out[3]["n_redactions"] == 0
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a a A a b"), (2, "w x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert out[1]["top_token_frac"] == pytest.approx(0.8)  # case-folded
+    assert out[1]["dup_2gram_frac"] == pytest.approx(0.5)
+    assert out[2]["top_token_frac"] == pytest.approx(0.25)
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["top_token_frac"] == 1.0  # single token, no 2-grams
+    assert out[3]["dup_2gram_frac"] == 0.0
+    # scale guard: dup_2gram_frac must be computed BELOW the explode
+    # (once per doc, not per token) — the Generate node then lists it
+    # as required child output instead of recomputing it above
+    plan = textstats.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen_lines and all("dup_2gram_frac" in ln for ln in gen_lines)
+
+
 def test_langid_votes(spark):
     df = spark.createDataFrame(
         [(1, "the a value value x", "x", "s", 1), (2, "spark stream batch qq", "x", "s", 1), (3, "qq ww", "x", "s", 1)],

@@ -97,3 +97,83 @@ def fingerprints(documents: DataFrame, shingle_n: int = 5) -> DataFrame:
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
         F.size(F.array_distinct(sh)).cast("long").alias("n_shingles"),
     )
+
+
+# PII patterns — regexes with no lookaround, compiling identically in
+# Java regex and RE2/DuckDB, so redaction is oracle-checkable.
+# Deliberately conservative/recall-leaning: training corpora scrub
+# aggressively and accept some over-masking. ORDER MATTERS: the
+# specific shapes (SSN, IPV4) run before the greedy PHONE class so a
+# digits-and-hyphens SSN is tagged <SSN>, not swallowed as a phone.
+PII_PATTERNS = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("IPV4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("PHONE", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+]
+
+
+def redact_pii(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text, redacted, n_redactions): every PII match replaced by
+    its <TYPE> tag — the standard web-corpus scrub pass, pure chained
+    regexp_replace (one codegen'd projection, no Python, no shuffle).
+    n_redactions counts the substitutions actually made: each
+    pattern's matches are counted against the partially-redacted text
+    it sees in the chain, so a span masked by an earlier pattern is
+    never double-counted."""
+    cur = F.col(text_col)
+    counts = F.lit(0)
+    for tag, pat in PII_PATTERNS:
+        counts = counts + F.size(
+            F.regexp_extract_all(cur, F.lit(pat), F.lit(0))
+        )
+        cur = F.regexp_replace(cur, pat, f"<{tag}>")
+    return documents.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        cur.alias("redacted"),
+        counts.cast("long").alias("n_redactions"),
+    )
+
+
+def repetition_stats(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document:
+    top_token_frac (share of the most frequent token) and
+    dup_2gram_frac (1 - distinct/total word 2-grams). High values mark
+    degenerate/boilerplate text that repetition filters drop.
+
+    Scale shape: dup_2gram_frac is a pure per-row projection computed
+    BEFORE the explode, then carried (8 bytes/row) through the token
+    shuffle — one corpus scan total, vs the naive two-scan-plus-join
+    plan. The two aggregations are map-side combinable; docs with no
+    tokens are dropped (no signal), matching the oracle's inner join."""
+    from veealign_spark.operators.dedup import shingles_col, tokens_col
+
+    grams = shingles_col(F.lower(F.col(text_col)), 2)
+    dup = F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    # Two-step select: with explode in the same projection, Catalyst
+    # hoists the sibling expressions ABOVE the Generate, re-evaluating
+    # the O(len^2) shingle expression once per token. Materializing
+    # dup/toks in a lower projection keeps it once per document
+    # (plan-asserted in tests/test_operators.py).
+    per_doc = documents.select(
+        F.col(id_col).alias("id"),
+        dup.alias("dup_2gram_frac"),
+        tokens_col(F.lower(F.col(text_col))).alias("toks"),
+    )
+    t = per_doc.select("id", "dup_2gram_frac", F.explode("toks").alias("tok"))
+    per_tok = t.groupBy("id", "tok").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("dup_2gram_frac").alias("d"),
+    )
+    return per_tok.groupBy("id").agg(
+        (F.max("c") / F.sum("c")).alias("top_token_frac"),
+        F.first("d").alias("dup_2gram_frac"),
+    )
