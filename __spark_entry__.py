@@ -441,6 +441,20 @@ def q_text_repetition(spark, sf_dir):
     return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_mix_sample(spark, sf_dir):
+    """Domain-mixing stratified sampler over documents.lang: per-
+    stratum keep fractions (en 20%, zh 50%, es 100%), default 5% for
+    unlisted strata — deterministic md5 percent-bucket, map-literal
+    fraction lookup (no join)."""
+    from veealign_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "lang", {"en": 0.2, "zh": 0.5, "es": 1.0},
+        key_cols=["doc_id"], seed=37, default_fraction=0.05,
+    ).select("doc_id", "lang")
+
+
 def q_sessionize(spark, sf_dir):
     return sessions.session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
 
@@ -778,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_redact_pii": q_text_redact,
         "text_repetition": q_text_repetition,
+        "corpus_mix_sample": q_corpus_mix_sample,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "windowed_counts": q_windowed_counts,
@@ -835,6 +850,17 @@ def _redact_oracle() -> str:
                    CAST({counts} AS BIGINT) AS n_redactions
             FROM inj
         """
+
+
+def _hex4_bucket_sql(key_expr: str, seed: int) -> str:
+    """DuckDB twin of sampling._pct_bucket: 0-99 bucket from the first
+    four hex digits of the md5 shuffle key."""
+    h = f"md5('{seed}|' || {key_expr})"
+    digs = []
+    for i, mul in [(1, 4096), (2, 256), (3, 16), (4, 1)]:
+        a = f"ascii(substr({h}, {i}, 1))"
+        digs.append(f"({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END) * {mul}")
+    return "(" + " + ".join(digs) + ") % 100"
 
 
 _GT_CONCEPTS = """
@@ -1349,6 +1375,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM dl)
             SELECT top.doc_id AS id, top_token_frac, dup_2gram_frac
             FROM top JOIN d ON top.doc_id = d.doc_id
+        """,
+        "corpus_mix_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_hex4_bucket_sql("doc_id::VARCHAR", 37)}
+                  < CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 50
+                              WHEN 'es' THEN 100 ELSE 5 END
         """,
         "sessionize": """
             WITH g AS (

@@ -143,6 +143,33 @@ def test_repetition_stats(spark):
     assert gen_lines and all("dup_2gram_frac" in ln for ln in gen_lines)
 
 
+def test_stratified_sample(spark):
+    import hashlib
+
+    from veealign_spark.operators import sampling
+
+    rows = [(i, ["en", "zh", "es", "xx"][i % 4]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_sample(
+        df, "lang", {"en": 0.2, "zh": 0.5, "es": 1.0},
+        key_cols=["doc_id"], seed=37, default_fraction=0.0,
+    )
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(f"37|{i}".encode()).hexdigest()[:4], 16) % 100
+
+    want = {
+        (i, lang) for i, lang in rows
+        if bucket(i) < {"en": 20, "zh": 50, "es": 100}.get(lang, 0)
+    }
+    assert got == want  # exact deterministic membership
+    per = {lang: sum(1 for _, x in got if x == lang) for lang in ("en", "zh", "es", "xx")}
+    assert per["es"] == 500 and per["xx"] == 0
+    assert abs(per["en"] / 500 - 0.2) < 0.05
+    assert abs(per["zh"] / 500 - 0.5) < 0.06
+
+
 def test_langid_votes(spark):
     df = spark.createDataFrame(
         [(1, "the a value value x", "x", "s", 1), (2, "spark stream batch qq", "x", "s", 1), (3, "qq ww", "x", "s", 1)],

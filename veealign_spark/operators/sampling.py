@@ -86,15 +86,12 @@ def _hex_val(h, i: int):
     return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
 
 
-def downsample(
-    df: DataFrame, fraction: float, key_cols: list[str], seed: int = 29
-) -> DataFrame:
-    """T4: deterministic fraction via md5 bucketing (keep a row iff
-    its percent-bucket falls under fraction*100). The bucket parses
-    the first FOUR hex digits of the md5 as an integer, so the mod-100
-    residues are uniform to within 1/65536 (a raw ascii-of-two-hex-
-    chars bucket reaches only 88 of 100 residues and skews the kept
-    rate by up to ~11% relative). Granularity: 1%."""
+def _pct_bucket(key_cols: list[str], seed: int):
+    """Deterministic 0-99 bucket from the first FOUR hex digits of the
+    md5 shuffle key, so the mod-100 residues are uniform to within
+    1/65536 (a raw ascii-of-two-hex-chars bucket reaches only 88 of
+    100 residues and skews the kept rate by up to ~11% relative).
+    Portable: evaluates identically in DuckDB."""
     h = _shuffle_key(key_cols, seed)
     val = (
         _hex_val(h, 1) * 4096
@@ -102,7 +99,46 @@ def downsample(
         + _hex_val(h, 3) * 16
         + _hex_val(h, 4)
     )
-    return df.filter(val % 100 < int(round(fraction * 100)))
+    return val % 100
+
+
+def downsample(
+    df: DataFrame, fraction: float, key_cols: list[str], seed: int = 29
+) -> DataFrame:
+    """T4: deterministic fraction via md5 percent-bucketing (keep a
+    row iff its bucket falls under fraction*100). Granularity: 1%."""
+    return df.filter(_pct_bucket(key_cols, seed) < int(round(fraction * 100)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    seed: int = 37,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Domain-mixing sampler: keep each row with ITS stratum's
+    fraction (granularity 1%), deterministically — the standard
+    re-weighting step when composing a training corpus from sources of
+    uneven size/quality. Strata absent from `fractions` keep
+    `default_fraction`.
+
+    Scale shape: the fraction table rides as a map LITERAL inside a
+    single codegen'd filter — no join, no shuffle, no driver state
+    beyond the (tiny, by definition) mixture spec; corpus-linear and
+    trivially partition-parallel. Same md5 percent-bucket as
+    `downsample`, so a row's keep/drop decision is reproducible across
+    runs and resumable pipelines."""
+    bucket = _pct_bucket(key_cols, seed)
+    pairs: list = []
+    for k, v in fractions.items():
+        pairs += [F.lit(k), F.lit(int(round(v * 100)))]
+    pct = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)],
+        F.lit(int(round(default_fraction * 100))),
+    )
+    return df.filter(bucket < pct)
 
 
 def shuffled_rank(
