@@ -1,0 +1,84 @@
+"""Source-grain incremental ingest == full batch rerun.
+
+Fixture: the standing KG is the 2-source fixture pair (src1, src2,
+run_pipeline); the increment is src3, a renamed clone of src2 (the
+same construction as test_multi_source_pipeline). The incremental
+result must equal a full 3-source rerun exactly — accepted set,
+cluster assignment (canonical ids included), and KG tables — while
+scoring strictly fewer candidate pairs (the saving that motivates the
+plan at 10^12-turn standing corpora).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from veealign_spark.plans.incremental import incremental_update
+from veealign_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+TRIPLES_SCHEMA = "src string, subj string, pred string, obj string, kind string"
+
+
+@pytest.fixture(scope="module")
+def three_source(spark, fixture_pair):
+    tri = fixture_pair["triples"].copy()
+    tri3 = tri[tri["src"] == "src2"].copy()
+    tri3["src"] = "src3"
+    return {
+        "standing": spark.createDataFrame(tri, TRIPLES_SCHEMA),
+        "new": spark.createDataFrame(tri3, TRIPLES_SCHEMA),
+        "full": spark.createDataFrame(
+            pd.concat([tri, tri3], ignore_index=True), TRIPLES_SCHEMA
+        ),
+    }
+
+
+@pytest.mark.parametrize("blocking", ["cross", "blocked"])
+def test_incremental_equals_full_rerun(spark, three_source, blocking):
+    cfg = PipelineConfig(blocking=blocking)
+    standing = run_pipeline(spark, triples=three_source["standing"], config=cfg)
+    inc = incremental_update(
+        spark, standing, new_triples=three_source["new"], config=cfg
+    )
+    full = run_pipeline(spark, triples=three_source["full"], config=cfg)
+
+    def acc_set(res):
+        return {
+            (r["ent1"], r["ent2"])
+            for r in res["accepted"].select("ent1", "ent2").collect()
+        }
+
+    assert acc_set(inc) == acc_set(full)
+
+    def clu(res):
+        return {
+            r["entity"]: r["canon_id"]
+            for r in res["clusters"].select("entity", "canon_id").collect()
+        }
+
+    assert clu(inc) == clu(full)  # identical canonical ids, not just partition
+
+    def kg_set(res):
+        return {
+            (r["subj"], r["pred"], r["obj"], r["kind"])
+            for r in res["kg_triples"].collect()
+        }
+
+    assert kg_set(inc) == kg_set(full)
+
+    # the saving: standing-vs-standing pairs are never re-scored
+    n_inc = inc["candidates"].count()
+    n_full = full["candidates"].count()
+    assert 0 < n_inc < n_full
+    assert inc["scores"].filter(
+        ~F.col("is_prop")
+        & ~F.split("ent1", "#").getItem(0).isin(["src3"])
+        & ~F.split("ent2", "#").getItem(0).isin(["src3"])
+    ).count() == 0  # every scored concept pair touches the new source
+
+
+def test_incremental_rejects_source_overlap(spark, three_source):
+    standing = run_pipeline(spark, triples=three_source["standing"])
+    clone_of_standing = three_source["standing"].limit(5)
+    with pytest.raises(ValueError, match="overlap"):
+        incremental_update(spark, standing, new_triples=clone_of_standing)

@@ -1,0 +1,202 @@
+"""Source-grain incremental ingest: link NEW sources against a
+standing KG without recomputing standing-vs-standing work.
+
+The deployment shape this serves: a 10^12-turn corpus has already been
+resolved into a standing KG (run_pipeline / previous increments); a
+new feed (a new ontology, a new transcript source) arrives and must be
+aligned against everything standing. Rerunning the batch pipeline
+scales with the CORPUS; this plan scales with the INCREMENT:
+
+- contexts / features / prop-contexts are per-source (subclass and
+  property edges never cross sources — reference ontology.py parses
+  each ontology independently), so the standing tables are reused
+  verbatim and the linear stages run over the new triples only;
+- candidate pairs are generated over the combined concept universe
+  but filtered to pairs touching a new source BEFORE the expensive
+  kernel-scoring stage — standing-vs-standing pairs are never
+  re-scored;
+- cluster merge runs connected components over the standing
+  (entity -> canon_id) assignments, used as edges, union the newly
+  accepted pairs.  CC(CC(A) union B) == CC(A union B), so a new
+  alignment that bridges two standing clusters merges them exactly as
+  a full rerun would.
+
+Because of the per-source context property, the incremental result is
+IDENTICAL to a full batch rerun over the union (same accepted set,
+same cluster partition, same canonical ids, same KG tables) whenever
+the config (threshold, max_types, kernel params) is held fixed —
+pinned by tests/test_incremental.py.
+
+Scale notes: the two source-universe probes below collect DISTINCT
+source names (feed count, not corpus size); a real deployment keeps a
+source registry table instead of deriving it from the corpus. The
+standing dicts returned by run_pipeline carry the concept/prop dim
+tables; when absent (older checkpoints) they are re-derived from the
+standing triples (one linear scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from veealign_spark.operators import candidates as cand
+from veealign_spark.operators import canonicalize, contexts
+from veealign_spark.plans.pipeline import (
+    PipelineConfig,
+    concepts_from_triples,
+    props_from_triples,
+    score_candidates_stage,
+)
+from veealign_spark.sources import transcripts as src_transcripts
+
+
+def _src_of(col):
+    return F.split(col, "#").getItem(0)
+
+
+def incremental_update(
+    spark: SparkSession,
+    standing: dict,
+    new_transcripts: DataFrame | None = None,
+    new_triples: DataFrame | None = None,
+    config: PipelineConfig | None = None,
+    gold: DataFrame | None = None,
+    label_map: DataFrame | None = None,
+) -> dict:
+    """Align new sources against `standing` (a run_pipeline /
+    incremental_update result dict, or the same keys re-read from
+    materialized tables: triples, contexts, features, prop_contexts,
+    accepted, clusters [, concepts, props]). Returns the same result
+    shape as run_pipeline over the union, plus `new_sources` and
+    `new_triples`."""
+    cfg = config or PipelineConfig()
+    params = cfg.kernel_params()
+    if new_triples is None:
+        if new_transcripts is None:
+            raise ValueError("incremental_update needs new_transcripts or new_triples")
+        extract = (
+            src_transcripts.extract_mentions
+            if cfg.extractor == "jvm"
+            else src_transcripts.extract_mentions_pandas
+        )
+        new_triples = src_transcripts.mentions_to_triples(extract(new_transcripts))
+
+    std_triples = standing["triples"]
+    new_srcs = sorted(
+        r["src"] for r in new_triples.select("src").distinct().collect()
+    )
+    std_srcs = {r["src"] for r in std_triples.select("src").distinct().collect()}
+    overlap = std_srcs.intersection(new_srcs)
+    if overlap:
+        raise ValueError(
+            "source-grain ingest: new batch must introduce NEW sources "
+            f"(in-place source growth changes standing contexts); overlap: {sorted(overlap)}"
+        )
+
+    # linear stages over the increment only
+    new_ctx = contexts.build_contexts(
+        new_triples,
+        bag_of_neighbours=cfg.bag_of_neighbours,
+        max_pathlen=cfg.max_pathlen,
+    )
+    new_features = contexts.assemble_features(
+        new_ctx, cfg.max_types, cfg.max_paths, cfg.max_pathlen
+    )
+    new_prop_ctx = contexts.build_prop_contexts(new_triples)
+
+    concepts_std = standing.get("concepts")
+    if concepts_std is None:
+        concepts_std = concepts_from_triples(std_triples)
+    props_std = standing.get("props")
+    if props_std is None:
+        props_std = props_from_triples(std_triples)
+    concepts_all = concepts_std.unionByName(concepts_from_triples(new_triples))
+    props_all = props_std.unionByName(props_from_triples(new_triples))
+    triples_all = std_triples.unionByName(new_triples)
+    ctx_all = standing["contexts"].unionByName(new_ctx)
+    features_all = standing["features"].unionByName(new_features)
+    prop_ctx_all = standing["prop_contexts"].unionByName(new_prop_ctx)
+
+    # candidates over the combined universe (blocking censuses must
+    # see every source, exactly as a full rerun would), filtered to
+    # pairs touching a new source before the kernel runs
+    if cfg.blocking == "cross":
+        all_cand = cand.cross_candidates_multi(concepts_all)
+    else:
+        anc_all = (
+            ctx_all.filter(F.col("nbr_type") == 0)
+            .select("src", "entity", F.element_at("path", -1).alias("ancestor"))
+            .dropDuplicates()
+        )
+        all_cand = cand.blocked_candidates_multi(
+            concepts_all,
+            anc_all,
+            hot_key_threshold=cfg.hot_key_threshold,
+            n_salt=cfg.n_salt,
+        )
+    touches_new = _src_of(F.col("ent1")).isin(new_srcs) | _src_of(
+        F.col("ent2")
+    ).isin(new_srcs)
+    inc_cand = all_cand.filter(touches_new)
+
+    pn = cand.with_norm(props_all)
+    prop_cand = (
+        pn.select("kind", F.col("src").alias("src1"), F.col("key").alias("ent1"))
+        .join(
+            pn.select(
+                "kind", F.col("src").alias("src2"), F.col("key").alias("ent2")
+            ),
+            "kind",
+        )
+        .filter(F.col("src1") < F.col("src2"))
+        .filter(F.col("src1").isin(new_srcs) | F.col("src2").isin(new_srcs))
+        .select("ent1", "ent2")
+    )
+
+    scores, vector_mode, timings = score_candidates_stage(
+        spark, cfg, params, triples_all, concepts_all, features_all,
+        prop_ctx_all, inc_cand, prop_cand, label_map=label_map,
+    )
+
+    threshold = params.threshold
+    if gold is not None:
+        from veealign_spark.operators import metrics as metrics_ops
+
+        threshold, _f1 = metrics_ops.best_threshold(scores, gold)
+    alignments = scores.withColumn(
+        "accepted", F.col("score") >= F.lit(threshold)
+    )
+    accepted_new = alignments.filter(F.col("accepted"))
+    accepted_all = standing["accepted"].unionByName(accepted_new)
+
+    # cluster merge: standing assignments are already the CC of the
+    # standing accepted edges; re-closing them with the new edges is
+    # equivalent to CC over the full accepted set
+    edges = (
+        standing["clusters"]
+        .select(F.col("entity").alias("ent1"), F.col("canon_id").alias("ent2"))
+        .unionByName(accepted_new.select("ent1", "ent2"))
+    )
+    clusters = canonicalize.connected_components(edges)
+    kg = canonicalize.materialize_kg(triples_all, clusters)
+
+    return {
+        "triples": triples_all,
+        "new_triples": new_triples,
+        "contexts": ctx_all,
+        "features": features_all,
+        "prop_contexts": prop_ctx_all,
+        "concepts": concepts_all,
+        "props": props_all,
+        "candidates": inc_cand,
+        "scores": scores,
+        "alignments": alignments,
+        "accepted": accepted_all,
+        "clusters": clusters,
+        "threshold": threshold,
+        "vector_mode": vector_mode,
+        "unstaged_timings": timings,
+        "new_sources": new_srcs,
+        **kg,
+    }

@@ -163,6 +163,130 @@ def props_from_triples(triples: DataFrame) -> DataFrame:
     )
 
 
+def score_candidates_stage(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    params,
+    triples: DataFrame,
+    concepts: DataFrame,
+    features: DataFrame,
+    prop_ctx: DataFrame,
+    candidates_df: DataFrame,
+    prop_cand: DataFrame,
+    label_map: DataFrame | None = None,
+):
+    """Vocabulary routing + JVM-side encode + dual-attention kernel
+    scoring for concept and property candidates. Shared by the batch
+    pipeline and the incremental-ingest plan (plans/incremental.py).
+    Returns (scores, resolved_vector_mode, timings).
+
+    Embedding layout: broadcast (indexer, matrix) vs pre-joined
+    distributed dim table (see PipelineConfig.vector_mode). The size
+    probe and the vocabulary fetch are ONE bounded job:
+    limit(threshold+1).collect() — ≤ threshold+1 rows ever reach the
+    driver, so an over-threshold vocabulary is detected WITHOUT an
+    unbounded collect (the excess row routes to the pre-joined path or
+    raises for explicit "broadcast"), and a broadcastable one is
+    already in hand (no second pass)."""
+    vector_mode = cfg.vector_mode
+    emb_bc = None
+    emb_table = None
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    tu = None
+    if vector_mode in ("auto", "broadcast"):
+        cap = cfg.vocab_broadcast_threshold
+        # persisted so a pre-joined route reuses the distinct pass the
+        # probe already paid for (corpus-sized at 10^12 turns)
+        tu = scoring.term_universe(triples, concepts, label_map).persist()
+        head = tu.limit(cap + 1).collect()
+        if len(head) <= cap:
+            vector_mode = "broadcast"
+            emb_bc = scoring.EmbBroadcast.from_terms(
+                spark, [r["term"] for r in head], cfg.emb_dim
+            )
+        elif cfg.vector_mode == "broadcast":
+            raise ValueError(
+                f"vector_mode='broadcast' over more than {cap} distinct "
+                f"terms (> vocab_broadcast_threshold={cap}) "
+                "would collect the whole vocabulary to the driver — use "
+                "vector_mode='auto' or 'prejoined'"
+            )
+        else:
+            vector_mode = "prejoined"
+    if vector_mode == "prejoined":
+        emb_table = scoring.build_embeddings_table(
+            spark, triples, cfg.emb_dim, concepts, label_map, terms=tu
+        )
+    elif tu is not None:
+        tu.unpersist()
+    timings["vocab"] = time.time() - t0
+
+    # AQE coalesces the (byte-wise tiny) candidate table to very few
+    # partitions, which would serialize the CPU-heavy scoring UDF —
+    # explicitly re-spread across the cluster before the kernel.
+    # One task wave, maximal Arrow batch size: per-row kernel cost is
+    # uniform, so parallelism*1 partitions beat *2 (half the python
+    # worker round-trips for the same core occupancy)
+    n_score = cfg.score_partitions or spark.sparkContext.defaultParallelism
+    candidates_df = candidates_df.repartition(n_score)
+    prop_cand = prop_cand.repartition(max(n_score // 4, 2))
+
+    # JVM-side embedify: features/prop contexts become fixed-shape
+    # arrays before the Arrow boundary (strings never reach Python —
+    # the 100 TB layout): int64 index tensors on the broadcast path,
+    # pre-joined float64 vectors on the distributed-vocabulary path.
+    # Entity-universe-sized dim tables, referenced twice each in the
+    # scoring joins — materialize once.
+    t0 = time.time()
+    # the two dim-table materializations are independent tiny jobs —
+    # submit them concurrently (Spark schedulers accept jobs from
+    # multiple driver threads; this halves the fixed job latency)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _eager(df):
+        return df.localCheckpoint(eager=True)
+
+    if vector_mode == "broadcast":
+        emb_idx = scoring.emb_index_df(spark, emb_bc)
+        with ThreadPoolExecutor(2) as _ex:
+            _f = _ex.submit(_eager, scoring.encode_features(
+                features, emb_idx, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
+                label_map=label_map,
+            ))
+            _p = _ex.submit(_eager, scoring.encode_prop_contexts(
+                prop_ctx, emb_idx, label_map=label_map
+            ))
+            enc_feats, enc_props = _f.result(), _p.result()
+        scores_c = scoring.score_concept_candidates_fast(
+            candidates_df, enc_feats, emb_bc, params, cfg.max_types,
+            label_map=label_map,
+        ).withColumn("is_prop", F.lit(False))
+        scores_p = scoring.score_prop_candidates_fast(
+            prop_cand, enc_props, emb_bc, params, label_map=label_map
+        ).withColumn("is_prop", F.lit(True))
+    else:
+        with ThreadPoolExecutor(2) as _ex:
+            _f = _ex.submit(_eager, scoring.encode_features_vec(
+                features, emb_table, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
+                dim=cfg.emb_dim, label_map=label_map,
+            ))
+            _p = _ex.submit(_eager, scoring.encode_prop_contexts_vec(
+                prop_ctx, emb_table, dim=cfg.emb_dim, label_map=label_map
+            ))
+            enc_feats, enc_props = _f.result(), _p.result()
+        scores_c = scoring.score_concept_candidates_prejoined(
+            candidates_df, enc_feats, emb_table, params, cfg.max_types,
+            dim=cfg.emb_dim, label_map=label_map,
+        ).withColumn("is_prop", F.lit(False))
+        scores_p = scoring.score_prop_candidates_prejoined(
+            prop_cand, enc_props, emb_table, params,
+            dim=cfg.emb_dim, label_map=label_map,
+        ).withColumn("is_prop", F.lit(True))
+    timings["encode"] = time.time() - t0
+    return scores_c.unionByName(scores_p), vector_mode, timings
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame | None = None,
@@ -234,48 +358,6 @@ def run_pipeline(
     if props is None:
         props = props_from_triples(triples)
 
-    # embedding layout: broadcast (indexer, matrix) vs pre-joined
-    # distributed dim table (see PipelineConfig.vector_mode). The
-    # size probe and the vocabulary fetch are ONE bounded job:
-    # limit(threshold+1).collect() — ≤ threshold+1 rows ever reach the
-    # driver, so an over-threshold vocabulary is detected WITHOUT an
-    # unbounded collect (the excess row routes to the pre-joined path
-    # or raises for explicit "broadcast"), and a broadcastable one is
-    # already in hand (no second pass).
-    vector_mode = cfg.vector_mode
-    emb_bc = None
-    emb_table = None
-    timings: dict[str, float] = {}
-    t0 = time.time()
-    tu = None
-    if vector_mode in ("auto", "broadcast"):
-        cap = cfg.vocab_broadcast_threshold
-        # persisted so a pre-joined route reuses the distinct pass the
-        # probe already paid for (corpus-sized at 10^12 turns)
-        tu = scoring.term_universe(triples, concepts, label_map).persist()
-        head = tu.limit(cap + 1).collect()
-        if len(head) <= cap:
-            vector_mode = "broadcast"
-            emb_bc = scoring.EmbBroadcast.from_terms(
-                spark, [r["term"] for r in head], cfg.emb_dim
-            )
-        elif cfg.vector_mode == "broadcast":
-            raise ValueError(
-                f"vector_mode='broadcast' over more than {cap} distinct "
-                f"terms (> vocab_broadcast_threshold={cap}) "
-                "would collect the whole vocabulary to the driver — use "
-                "vector_mode='auto' or 'prejoined'"
-            )
-        else:
-            vector_mode = "prejoined"
-    if vector_mode == "prejoined":
-        emb_table = scoring.build_embeddings_table(
-            spark, triples, cfg.emb_dim, concepts, label_map, terms=tu
-        )
-    elif tu is not None:
-        tu.unpersist()
-    timings["vocab"] = time.time() - t0
-
     # candidate generation: ALL source pairs in one plan node — pairs
     # are data (self-join on src1 < src2), not per-pair Python unions,
     # so the plan stays O(1) in the number of sources (many-source
@@ -314,69 +396,11 @@ def run_pipeline(
     )
 
     candidates_df = ledger.stage("candidates", lambda: all_cand)
-    # AQE coalesces the (byte-wise tiny) candidate table to very few
-    # partitions, which would serialize the CPU-heavy scoring UDF —
-    # explicitly re-spread across the cluster before the kernel
-    # one task wave, maximal Arrow batch size: per-row kernel cost is
-    # uniform, so parallelism*1 partitions beat *2 (half the python
-    # worker round-trips for the same core occupancy)
-    n_score = cfg.score_partitions or spark.sparkContext.defaultParallelism
-    candidates_df = candidates_df.repartition(n_score)
-    prop_cand = prop_cand.repartition(max(n_score // 4, 2))
-
-    # JVM-side embedify: features/prop contexts become fixed-shape
-    # arrays before the Arrow boundary (strings never reach Python —
-    # the 100 TB layout): int64 index tensors on the broadcast path,
-    # pre-joined float64 vectors on the distributed-vocabulary path.
-    # Entity-universe-sized dim tables, referenced twice each in the
-    # scoring joins — materialize once.
-    t0 = time.time()
-    # the two dim-table materializations are independent tiny jobs —
-    # submit them concurrently (Spark schedulers accept jobs from
-    # multiple driver threads; this halves the fixed job latency)
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _eager(df):
-        return df.localCheckpoint(eager=True)
-
-    if vector_mode == "broadcast":
-        emb_idx = scoring.emb_index_df(spark, emb_bc)
-        with ThreadPoolExecutor(2) as _ex:
-            _f = _ex.submit(_eager, scoring.encode_features(
-                features, emb_idx, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
-                label_map=label_map,
-            ))
-            _p = _ex.submit(_eager, scoring.encode_prop_contexts(
-                prop_ctx, emb_idx, label_map=label_map
-            ))
-            enc_feats, enc_props = _f.result(), _p.result()
-        scores_c = scoring.score_concept_candidates_fast(
-            candidates_df, enc_feats, emb_bc, params, cfg.max_types,
-            label_map=label_map,
-        ).withColumn("is_prop", F.lit(False))
-        scores_p = scoring.score_prop_candidates_fast(
-            prop_cand, enc_props, emb_bc, params, label_map=label_map
-        ).withColumn("is_prop", F.lit(True))
-    else:
-        with ThreadPoolExecutor(2) as _ex:
-            _f = _ex.submit(_eager, scoring.encode_features_vec(
-                features, emb_table, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
-                dim=cfg.emb_dim, label_map=label_map,
-            ))
-            _p = _ex.submit(_eager, scoring.encode_prop_contexts_vec(
-                prop_ctx, emb_table, dim=cfg.emb_dim, label_map=label_map
-            ))
-            enc_feats, enc_props = _f.result(), _p.result()
-        scores_c = scoring.score_concept_candidates_prejoined(
-            candidates_df, enc_feats, emb_table, params, cfg.max_types,
-            dim=cfg.emb_dim, label_map=label_map,
-        ).withColumn("is_prop", F.lit(False))
-        scores_p = scoring.score_prop_candidates_prejoined(
-            prop_cand, enc_props, emb_table, params,
-            dim=cfg.emb_dim, label_map=label_map,
-        ).withColumn("is_prop", F.lit(True))
-    timings["encode"] = time.time() - t0
-    scores = ledger.stage("scores", lambda: scores_c.unionByName(scores_p))
+    scores_all, vector_mode, timings = score_candidates_stage(
+        spark, cfg, params, triples, concepts, features, prop_ctx,
+        candidates_df, prop_cand, label_map=label_map,
+    )
+    scores = ledger.stage("scores", lambda: scores_all)
 
     threshold = params.threshold
     if gold is not None:
@@ -403,6 +427,8 @@ def run_pipeline(
         "contexts": ctx,
         "features": features,
         "prop_contexts": prop_ctx,
+        "concepts": concepts,
+        "props": props,
         "candidates": candidates_df,
         "scores": scores,
         "alignments": alignments,
