@@ -44,6 +44,7 @@ from veealign_spark.operators import candidates as cand
 from veealign_spark.operators import canonicalize, contexts
 from veealign_spark.plans.pipeline import (
     PipelineConfig,
+    StageLedger,
     concepts_from_triples,
     props_from_triples,
     score_candidates_stage,
@@ -72,6 +73,14 @@ def incremental_update(
     `new_triples`."""
     cfg = config or PipelineConfig()
     params = cfg.kernel_params()
+    # same stage discipline as run_pipeline: every increment stage is
+    # materialized exactly once (lazy localCheckpoint + count, or
+    # parquet + lineage under checkpoint_dir with inc_-prefixed names
+    # so a shared dir resumes both plans exactly). Without this the
+    # lazy extraction→contexts→scoring DAG re-executes for every
+    # downstream action — the kernel scoring alone runs ~4x (accepted
+    # census, CC edge count, union-find collect, final reads).
+    ledger = StageLedger(spark, cfg.checkpoint_dir)
     if new_triples is None:
         if new_transcripts is None:
             raise ValueError("incremental_update needs new_transcripts or new_triples")
@@ -80,7 +89,12 @@ def incremental_update(
             if cfg.extractor == "jvm"
             else src_transcripts.extract_mentions_pandas
         )
-        new_triples = src_transcripts.mentions_to_triples(extract(new_transcripts))
+        new_triples = ledger.stage(
+            "inc_triples",
+            lambda: src_transcripts.mentions_to_triples(extract(new_transcripts)),
+        )
+    else:
+        new_triples = ledger.stage("inc_triples", lambda t=new_triples: t)
 
     std_triples = standing["triples"]
     new_srcs = sorted(
@@ -95,15 +109,23 @@ def incremental_update(
         )
 
     # linear stages over the increment only
-    new_ctx = contexts.build_contexts(
-        new_triples,
-        bag_of_neighbours=cfg.bag_of_neighbours,
-        max_pathlen=cfg.max_pathlen,
+    new_ctx = ledger.stage(
+        "inc_contexts",
+        lambda: contexts.build_contexts(
+            new_triples,
+            bag_of_neighbours=cfg.bag_of_neighbours,
+            max_pathlen=cfg.max_pathlen,
+        ),
     )
-    new_features = contexts.assemble_features(
-        new_ctx, cfg.max_types, cfg.max_paths, cfg.max_pathlen
+    new_features = ledger.stage(
+        "inc_features",
+        lambda: contexts.assemble_features(
+            new_ctx, cfg.max_types, cfg.max_paths, cfg.max_pathlen
+        ),
     )
-    new_prop_ctx = contexts.build_prop_contexts(new_triples)
+    new_prop_ctx = ledger.stage(
+        "inc_prop_contexts", lambda: contexts.build_prop_contexts(new_triples)
+    )
 
     concepts_std = standing.get("concepts")
     if concepts_std is None:
@@ -138,7 +160,9 @@ def incremental_update(
     touches_new = _src_of(F.col("ent1")).isin(new_srcs) | _src_of(
         F.col("ent2")
     ).isin(new_srcs)
-    inc_cand = all_cand.filter(touches_new)
+    inc_cand = ledger.stage(
+        "inc_candidates", lambda: all_cand.filter(touches_new)
+    )
 
     pn = cand.with_norm(props_all)
     prop_cand = (
@@ -154,18 +178,22 @@ def incremental_update(
         .select("ent1", "ent2")
     )
 
-    scores, vector_mode, timings = score_candidates_stage(
+    scores_lazy, vector_mode, timings = score_candidates_stage(
         spark, cfg, params, triples_all, concepts_all, features_all,
         prop_ctx_all, inc_cand, prop_cand, label_map=label_map,
     )
+    scores = ledger.stage("inc_scores", lambda: scores_lazy)
 
     threshold = params.threshold
     if gold is not None:
         from veealign_spark.operators import metrics as metrics_ops
 
         threshold, _f1 = metrics_ops.best_threshold(scores, gold)
-    alignments = scores.withColumn(
-        "accepted", F.col("score") >= F.lit(threshold)
+    alignments = ledger.stage(
+        "inc_alignments",
+        lambda: scores.withColumn(
+            "accepted", F.col("score") >= F.lit(threshold)
+        ),
     )
     accepted_new = alignments.filter(F.col("accepted"))
     accepted_all = standing["accepted"].unionByName(accepted_new)
@@ -178,8 +206,12 @@ def incremental_update(
         .select(F.col("entity").alias("ent1"), F.col("canon_id").alias("ent2"))
         .unionByName(accepted_new.select("ent1", "ent2"))
     )
-    clusters = canonicalize.connected_components(edges)
+    clusters = ledger.stage(
+        "inc_clusters", lambda: canonicalize.connected_components(edges)
+    )
     kg = canonicalize.materialize_kg(triples_all, clusters)
+    kg = {k: ledger.stage(f"inc_{k}", lambda df=v: df) for k, v in kg.items()}
+    ledger.flush()
 
     return {
         "triples": triples_all,
@@ -197,6 +229,7 @@ def incremental_update(
         "threshold": threshold,
         "vector_mode": vector_mode,
         "unstaged_timings": timings,
+        "metrics": ledger.metrics,
         "new_sources": new_srcs,
         **kg,
     }
