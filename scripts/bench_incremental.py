@@ -80,6 +80,19 @@ def main() -> None:
     n_acc_standing = standing["accepted"].count()
     t_standing = time.time() - t0
 
+    # one-time warmup of the scoring path (first kernel-scoring job of
+    # a session pays ~30s of broadcast/codegen/worker spin-up that the
+    # resumed standing build skips; measured in /tmp/ab2: first score
+    # job 40s, every later one 8-10s regardless of plan variant).
+    # Without this the cost lands on whichever timed run goes first.
+    warm_tdf = inc_tdf.limit(20000).withColumn(
+        "conv_id", F.regexp_replace("conv_id", "^srcnew_", "srcwarm_")
+    )
+    incremental_update(
+        spark, standing, new_transcripts=warm_tdf,
+        config=PipelineConfig(blocking="blocked"),
+    )["accepted"].count()
+
     t0 = time.time()
     inc = incremental_update(
         spark, standing, new_transcripts=inc_tdf,
@@ -115,6 +128,10 @@ def main() -> None:
         "stage_sec_full": {
             m["stage"]: round(m.get("sec", 0.0), 2) for m in full["metrics"]
         },
+        "stage_rows_incremental": {
+            m["stage"]: m["rows"] for m in inc["metrics"]
+        },
+        "stage_rows_full": {m["stage"]: m["rows"] for m in full["metrics"]},
         "encode_vocab_sec_incremental": {
             k: round(v, 2) for k, v in inc["unstaged_timings"].items()
         },

@@ -148,12 +148,22 @@ def blocked_candidates_multi(
     hot_key_threshold: int = 1000,
     n_salt: int = 16,
     lexicon: DataFrame | None = None,
+    touch_sources: list[str] | None = None,
 ) -> DataFrame:
     """J1' across ALL source pairs in one self-join (pairs-as-data,
     like cross_candidates_multi), with the same explicit hot-key
     salting: the assigned side hashes hot keys into n_salt buckets, the
     replicated side explodes across all of them, so a Zipf-hot block
-    key never lands on a single task."""
+    key never lands on a single task.
+
+    `touch_sources` restricts output to pairs where at least one side
+    belongs to the listed sources, by filtering the JOIN SIDES (two
+    one-small-side joins, union, dedup) rather than the output — the
+    incremental-ingest shape, where standing-vs-standing join work
+    must not be paid at all. Block censuses still run over the full
+    universe (hotness is a property of the combined corpus), and the
+    emitted pair set is exactly the unrestricted output filtered to
+    pairs touching the listed sources."""
     k = _blocking_keys(concepts, top_ancestor, lexicon).withColumn(
         "src", F.substring_index("key", "#", 1)
     )
@@ -179,18 +189,27 @@ def blocked_candidates_multi(
         .withColumn("salt", F.explode(salts.cast("array<bigint>")))
         .drop("is_hot")
     )
-    return (
-        k1s.join(
-            k2s.select(
-                "block_key",
-                "salt",
-                F.col("key").alias("key2"),
-                F.col("src").alias("src2"),
-            ),
-            ["block_key", "salt"],
+    k2sel = k2s.select(
+        "block_key",
+        "salt",
+        F.col("key").alias("key2"),
+        F.col("src").alias("src2"),
+    )
+
+    def pair_join(left, right):
+        return (
+            left.join(right, ["block_key", "salt"])
+            .filter(F.col("src") < F.col("src2"))
+            .select(F.col("key").alias("ent1"), F.col("key2").alias("ent2"))
         )
-        .filter(F.col("src") < F.col("src2"))
-        .select(F.col("key").alias("ent1"), F.col("key2").alias("ent2"))
+
+    if touch_sources is None:
+        return pair_join(k1s, k2sel).dropDuplicates()
+    return (
+        pair_join(k1s.filter(F.col("src").isin(touch_sources)), k2sel)
+        .unionByName(
+            pair_join(k1s, k2sel.filter(F.col("src2").isin(touch_sources)))
+        )
         .dropDuplicates()
     )
 

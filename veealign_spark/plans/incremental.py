@@ -140,29 +140,32 @@ def incremental_update(
     features_all = standing["features"].unionByName(new_features)
     prop_ctx_all = standing["prop_contexts"].unionByName(new_prop_ctx)
 
-    # candidates over the combined universe (blocking censuses must
-    # see every source, exactly as a full rerun would), filtered to
-    # pairs touching a new source before the kernel runs
+    # candidates restricted to pairs touching a new source BEFORE the
+    # join (blocked path: touch_sources filters the join sides, so
+    # standing-vs-standing join work is never paid; censuses still see
+    # every source, exactly as a full rerun would). The cross path is
+    # the fixture/oracle baseline — post-filter is fine there.
     if cfg.blocking == "cross":
-        all_cand = cand.cross_candidates_multi(concepts_all)
+        touches_new = _src_of(F.col("ent1")).isin(new_srcs) | _src_of(
+            F.col("ent2")
+        ).isin(new_srcs)
+        inc_cand_lazy = cand.cross_candidates_multi(concepts_all).filter(
+            touches_new
+        )
     else:
         anc_all = (
             ctx_all.filter(F.col("nbr_type") == 0)
             .select("src", "entity", F.element_at("path", -1).alias("ancestor"))
             .dropDuplicates()
         )
-        all_cand = cand.blocked_candidates_multi(
+        inc_cand_lazy = cand.blocked_candidates_multi(
             concepts_all,
             anc_all,
             hot_key_threshold=cfg.hot_key_threshold,
             n_salt=cfg.n_salt,
+            touch_sources=new_srcs,
         )
-    touches_new = _src_of(F.col("ent1")).isin(new_srcs) | _src_of(
-        F.col("ent2")
-    ).isin(new_srcs)
-    inc_cand = ledger.stage(
-        "inc_candidates", lambda: all_cand.filter(touches_new)
-    )
+    inc_cand = ledger.stage("inc_candidates", lambda: inc_cand_lazy)
 
     pn = cand.with_norm(props_all)
     prop_cand = (
