@@ -77,6 +77,57 @@ def test_incremental_equals_full_rerun(spark, three_source, blocking):
     ).count() == 0  # every scored concept pair touches the new source
 
 
+def test_chained_increments_equal_full_rerun(spark, three_source, fixture_pair):
+    """Daily-ingest shape: standing -> +src3 -> +src4, each increment
+    applied to the PREVIOUS increment's result dict. Must equal one
+    full 4-source batch run (accepted set and cluster assignment)."""
+    tri = fixture_pair["triples"]
+    tri4 = tri[tri["src"] == "src1"].copy()
+    tri4["src"] = "src4"
+    new4 = spark.createDataFrame(tri4, TRIPLES_SCHEMA)
+
+    standing = run_pipeline(spark, triples=three_source["standing"])
+    step1 = incremental_update(spark, standing, new_triples=three_source["new"])
+    step2 = incremental_update(spark, step1, new_triples=new4)
+
+    full = run_pipeline(
+        spark, triples=three_source["full"].unionByName(new4)
+    )
+    acc2 = {
+        (r["ent1"], r["ent2"])
+        for r in step2["accepted"].select("ent1", "ent2").collect()
+    }
+    accf = {
+        (r["ent1"], r["ent2"])
+        for r in full["accepted"].select("ent1", "ent2").collect()
+    }
+    assert acc2 == accf
+    c2 = {r["entity"]: r["canon_id"] for r in step2["clusters"].collect()}
+    cf = {r["entity"]: r["canon_id"] for r in full["clusters"].collect()}
+    assert c2 == cf
+
+
+def test_empty_increment_is_identity(spark, three_source):
+    """A batch that introduces no rows leaves the KG unchanged."""
+    standing = run_pipeline(spark, triples=three_source["standing"])
+    empty = spark.createDataFrame([], TRIPLES_SCHEMA)
+    inc = incremental_update(spark, standing, new_triples=empty)
+    assert inc["new_sources"] == []
+    assert inc["scores"].count() == 0
+    a0 = {
+        (r["ent1"], r["ent2"])
+        for r in standing["accepted"].select("ent1", "ent2").collect()
+    }
+    a1 = {
+        (r["ent1"], r["ent2"])
+        for r in inc["accepted"].select("ent1", "ent2").collect()
+    }
+    assert a0 == a1
+    c0 = {r["entity"]: r["canon_id"] for r in standing["clusters"].collect()}
+    c1 = {r["entity"]: r["canon_id"] for r in inc["clusters"].collect()}
+    assert c0 == c1
+
+
 def test_incremental_rejects_source_overlap(spark, three_source):
     standing = run_pipeline(spark, triples=three_source["standing"])
     clone_of_standing = three_source["standing"].limit(5)
