@@ -105,6 +105,15 @@ def test_chained_increments_equal_full_rerun(spark, three_source, fixture_pair):
     c2 = {r["entity"]: r["canon_id"] for r in step2["clusters"].collect()}
     cf = {r["entity"]: r["canon_id"] for r in full["clusters"].collect()}
     assert c2 == cf
+    # delta-of-delta KG materialization (remap + union + dedup twice
+    # over) must equal the one-shot corpus materialization
+    def kg(res):
+        return {
+            (r["subj"], r["pred"], r["obj"], r["kind"])
+            for r in res["kg_triples"].collect()
+        }
+
+    assert kg(step2) == kg(full)
 
 
 def test_empty_increment_is_identity(spark, three_source):

@@ -186,6 +186,70 @@ def materialize_kg(
     return {"kg_triples": canon, "kg_entities": kg_entities, "kg_edges": kg_edges}
 
 
+def materialize_kg_delta(
+    standing_kg_triples: DataFrame,
+    standing_clusters: DataFrame,
+    clusters: DataFrame,
+    new_triples: DataFrame,
+) -> dict[str, DataFrame]:
+    """Incremental twin of materialize_kg: O(|KG| + |increment|), not
+    O(corpus).
+
+    Valid because incremental clustering only ADDS edges, so connected
+    components only MERGE — every entity's new canon is a function of
+    its old canon (new = min of the merged component that absorbed
+    old). The standing canonical triple table can therefore be
+    REMAPPED through a tiny (old_canon -> new_canon) broadcast map
+    (entities previously unassigned count their own key as old canon),
+    unioned with the canon rows of the new triples, and re-deduped —
+    the dedup now runs over KG-sized + increment-sized data instead of
+    re-scanning and re-deduplicating every source triple of the
+    standing corpus, which at 10^12 turns is the difference between
+    touching the KG and rewriting the world. Equality with the full
+    materialize_kg over the union is pinned by
+    tests/test_incremental.py (single and chained increments)."""
+    newa = clusters.select("entity", F.col("canon_id").alias("new_canon"))
+    olda = standing_clusters.select(
+        "entity", F.col("canon_id").alias("old_canon")
+    )
+    remap = (
+        newa.join(olda, "entity", "left")
+        .withColumn("old_canon", F.coalesce("old_canon", "entity"))
+        .select("old_canon", "new_canon")
+        .filter(F.col("old_canon") != F.col("new_canon"))
+        .dropDuplicates()
+    )
+
+    def _remap(df, col):
+        return (
+            df.join(
+                F.broadcast(remap.withColumnRenamed("old_canon", col)),
+                col,
+                "left",
+            )
+            .withColumn(col, F.coalesce("new_canon", col))
+            .drop("new_canon")
+        )
+
+    # joins move the key column to the front — restore the canonical
+    # (subj, pred, obj, kind) order so chained results stay congruent
+    # with materialize_kg output
+    remapped = _remap(_remap(standing_kg_triples, "subj"), "obj").select(
+        "subj", "pred", "obj", "kind"
+    )
+    new_rows = materialize_kg(new_triples, clusters)["kg_triples"]
+    canon = remapped.unionByName(new_rows).dropDuplicates()
+    kg_entities = (
+        canon.select(F.col("subj").alias("entity"))
+        .unionByName(canon.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    kg_edges = canon.filter(F.col("kind") == "Subclass").select(
+        F.col("subj").alias("child"), F.col("obj").alias("parent")
+    )
+    return {"kg_triples": canon, "kg_entities": kg_entities, "kg_edges": kg_edges}
+
+
 def one_to_one_filter(
     scores: DataFrame,
     threshold: float | None = None,

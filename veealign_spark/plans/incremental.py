@@ -212,7 +212,17 @@ def incremental_update(
     clusters = ledger.stage(
         "inc_clusters", lambda: canonicalize.connected_components(edges)
     )
-    kg = canonicalize.materialize_kg(triples_all, clusters)
+    # KG materialization: remap the STANDING canonical tables through
+    # the (old_canon -> new_canon) merge map + union the increment's
+    # rows — O(|KG| + increment), never re-deduplicating the corpus
+    # (materialize_kg_delta docstring has the merge-only argument).
+    standing_kg = standing.get("kg_triples")
+    if standing_kg is not None:
+        kg = canonicalize.materialize_kg_delta(
+            standing_kg, standing["clusters"], clusters, new_triples
+        )
+    else:  # older standing dicts without materialized KG tables
+        kg = canonicalize.materialize_kg(triples_all, clusters)
     kg = {k: ledger.stage(f"inc_{k}", lambda df=v: df) for k, v in kg.items()}
     ledger.flush()
 
