@@ -133,8 +133,26 @@ def incremental_update(
     props_std = standing.get("props")
     if props_std is None:
         props_std = props_from_triples(std_triples)
-    concepts_all = concepts_std.unionByName(concepts_from_triples(new_triples))
+    concepts_new = concepts_from_triples(new_triples)
+    concepts_all = concepts_std.unionByName(concepts_new)
     props_all = props_std.unionByName(props_from_triples(new_triples))
+
+    # vocabulary: standing vocab (already materialized, vocab-sized)
+    # union the increment's terms — the probe never re-scans the
+    # standing corpus. Set-equal to term_universe over the union, so
+    # scores are unchanged (vectors are looked up by term, not index).
+    vocab_std = standing.get("vocab")
+    if vocab_std is not None:
+        from veealign_spark.operators import scoring
+
+        terms_inc = ledger.stage(
+            "inc_vocab",
+            lambda: vocab_std.unionByName(
+                scoring.term_universe(new_triples, concepts_new, label_map)
+            ).distinct(),
+        )
+    else:  # older standing dicts: derive over the union
+        terms_inc = None
     triples_all = std_triples.unionByName(new_triples)
     ctx_all = standing["contexts"].unionByName(new_ctx)
     features_all = standing["features"].unionByName(new_features)
@@ -184,6 +202,7 @@ def incremental_update(
     scores_lazy, vector_mode, timings = score_candidates_stage(
         spark, cfg, params, triples_all, concepts_all, features_all,
         prop_ctx_all, inc_cand, prop_cand, label_map=label_map,
+        terms=terms_inc,
     )
     scores = ledger.stage("inc_scores", lambda: scores_lazy)
 
@@ -234,6 +253,7 @@ def incremental_update(
         "prop_contexts": prop_ctx_all,
         "concepts": concepts_all,
         "props": props_all,
+        "vocab": terms_inc,
         "candidates": inc_cand,
         "scores": scores,
         "alignments": alignments,

@@ -174,6 +174,7 @@ def score_candidates_stage(
     candidates_df: DataFrame,
     prop_cand: DataFrame,
     label_map: DataFrame | None = None,
+    terms: DataFrame | None = None,
 ):
     """Vocabulary routing + JVM-side encode + dual-attention kernel
     scoring for concept and property candidates. Shared by the batch
@@ -193,12 +194,19 @@ def score_candidates_stage(
     emb_table = None
     timings: dict[str, float] = {}
     t0 = time.time()
-    tu = None
+    # `terms` lets the caller supply a pre-materialized vocabulary
+    # (the pipeline stages it for resume; the incremental plan derives
+    # it from standing-vocab union increment-terms so the probe never
+    # re-scans the standing corpus)
+    tu = terms
+    owns_tu = False
     if vector_mode in ("auto", "broadcast"):
         cap = cfg.vocab_broadcast_threshold
-        # persisted so a pre-joined route reuses the distinct pass the
-        # probe already paid for (corpus-sized at 10^12 turns)
-        tu = scoring.term_universe(triples, concepts, label_map).persist()
+        if tu is None:
+            # persisted so a pre-joined route reuses the distinct pass
+            # the probe already paid (corpus-sized at 10^12 turns)
+            tu = scoring.term_universe(triples, concepts, label_map).persist()
+            owns_tu = True
         head = tu.limit(cap + 1).collect()
         if len(head) <= cap:
             vector_mode = "broadcast"
@@ -218,7 +226,7 @@ def score_candidates_stage(
         emb_table = scoring.build_embeddings_table(
             spark, triples, cfg.emb_dim, concepts, label_map, terms=tu
         )
-    elif tu is not None:
+    elif owns_tu:
         tu.unpersist()
     timings["vocab"] = time.time() - t0
 
@@ -357,6 +365,15 @@ def run_pipeline(
         concepts = concepts_from_triples(triples)
     if props is None:
         props = props_from_triples(triples)
+    # entity-universe-sized dim tables consumed by the vocabulary
+    # probe AND the candidate join — stage them so the corpus-wide
+    # distinct runs once per pipeline (and never again on the
+    # incremental path, which reuses these from the standing dict)
+    concepts = ledger.stage("concepts", lambda c=concepts: c)
+    props = ledger.stage("props", lambda p=props: p)
+    vocab = ledger.stage(
+        "vocab", lambda: scoring.term_universe(triples, concepts, label_map)
+    )
 
     # candidate generation: ALL source pairs in one plan node — pairs
     # are data (self-join on src1 < src2), not per-pair Python unions,
@@ -398,7 +415,7 @@ def run_pipeline(
     candidates_df = ledger.stage("candidates", lambda: all_cand)
     scores_all, vector_mode, timings = score_candidates_stage(
         spark, cfg, params, triples, concepts, features, prop_ctx,
-        candidates_df, prop_cand, label_map=label_map,
+        candidates_df, prop_cand, label_map=label_map, terms=vocab,
     )
     scores = ledger.stage("scores", lambda: scores_all)
 
@@ -429,6 +446,7 @@ def run_pipeline(
         "prop_contexts": prop_ctx,
         "concepts": concepts,
         "props": props,
+        "vocab": vocab,
         "candidates": candidates_df,
         "scores": scores,
         "alignments": alignments,
