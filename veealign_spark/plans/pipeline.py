@@ -361,19 +361,44 @@ def run_pipeline(
     )
     prop_ctx = ledger.stage("prop_contexts", lambda: contexts.build_prop_contexts(triples))
 
+    derived_dims = concepts is None
     if concepts is None:
         concepts = concepts_from_triples(triples)
     if props is None:
         props = props_from_triples(triples)
-    # entity-universe-sized dim tables consumed by the vocabulary
-    # probe AND the candidate join — stage them so the corpus-wide
-    # distinct runs once per pipeline (and never again on the
-    # incremental path, which reuses these from the standing dict)
-    concepts = ledger.stage("concepts", lambda c=concepts: c)
-    props = ledger.stage("props", lambda p=props: p)
-    vocab = ledger.stage(
-        "vocab", lambda: scoring.term_universe(triples, concepts, label_map)
-    )
+    # Entity-universe-sized dim tables consumed by the vocabulary
+    # probe AND the candidate join. On the derived path the vocabulary
+    # skips the concepts subtree entirely: derived concept ids are
+    # subclass/property endpoints, i.e. a subset of the triples'
+    # subj/obj terms already in the universe.
+    #
+    # They are STAGED (so the corpus-wide distinct never reruns, and
+    # the incremental plan can reuse them from the standing dict) only
+    # when a checkpoint_dir marks this run as a standing-KG build —
+    # for a one-shot job the extra stage materializations are pure
+    # overhead (measured: they cost the N->4N spark-submit scaling run
+    # ~20s at the 4N point, where fixed job latency bounds speedup).
+    # The three stages are independent corpus scans, submitted
+    # concurrently. Without a checkpoint_dir the same DataFrames ride
+    # the result dict lazily; an incremental consumer stages its
+    # inc_vocab from them exactly once.
+    vocab_src = None if derived_dims else concepts
+    if ledger.root:
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(3) as _ex:
+            _fc = _ex.submit(ledger.stage, "concepts", lambda c=concepts: c)
+            _fp = _ex.submit(ledger.stage, "props", lambda p=props: p)
+            _fv = _ex.submit(
+                ledger.stage,
+                "vocab",
+                lambda: scoring.term_universe(triples, vocab_src, label_map),
+            )
+            concepts, props, vocab = _fc.result(), _fp.result(), _fv.result()
+        score_terms = vocab
+    else:
+        vocab = scoring.term_universe(triples, vocab_src, label_map)
+        score_terms = None  # probe derives + persists internally
 
     # candidate generation: ALL source pairs in one plan node — pairs
     # are data (self-join on src1 < src2), not per-pair Python unions,
@@ -415,7 +440,7 @@ def run_pipeline(
     candidates_df = ledger.stage("candidates", lambda: all_cand)
     scores_all, vector_mode, timings = score_candidates_stage(
         spark, cfg, params, triples, concepts, features, prop_ctx,
-        candidates_df, prop_cand, label_map=label_map, terms=vocab,
+        candidates_df, prop_cand, label_map=label_map, terms=score_terms,
     )
     scores = ledger.stage("scores", lambda: scores_all)
 
