@@ -347,7 +347,10 @@ def kmeans_portable(
         if tot <= 0:
             centers.append(X[int(rng.integers(n))])
             continue
-        centers.append(X[int(np.searchsorted(np.cumsum(d2 / tot), rng.random()))])
+        # cumsum can round below 1.0 in float64; clamp so a drawn
+        # uniform above the final cumulative sum can't index past X
+        idx = int(np.searchsorted(np.cumsum(d2 / tot), rng.random()))
+        centers.append(X[min(idx, n - 1)])
     C = np.array(centers)
     for _ in range(max_iter):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)

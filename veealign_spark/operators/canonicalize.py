@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 500_000
+    edges: DataFrame,
+    max_iter: int = 20,
+    driver_threshold: int = 500_000,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """edges(ent1, ent2) -> (entity, canon_id) with canon_id = the
     lexicographic min entity of the component.
@@ -39,15 +42,32 @@ def connected_components(
     match graphs are tiny relative to the corpus (entity-universe-
     sized), so the driver path is the common case even at 10^12 turns.
     The 500k default keeps the collected Rows in the low hundreds of
-    MB of py4j traffic (round-1 review sized 2M Rows as too hot)."""
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        return _driver_union_find(edges)
+    MB of py4j traffic (round-1 review sized 2M Rows as too hot).
+
+    The size probe and the driver-path fetch are ONE bounded job:
+    limit(threshold+1).collect() — at most threshold+1 Rows ever reach
+    the driver, an under-threshold graph is already in hand (no second
+    pass), and an over-threshold one routes to the distributed loop
+    after a short-circuited scan instead of paying a full count. A
+    caller that already knows the edge count (e.g. a pipeline stage
+    census) can pass `n_edges` to skip the probe entirely."""
+    if n_edges is not None:
+        if n_edges <= driver_threshold:
+            return _driver_union_find(edges)
+        return _distributed_cc(edges, max_iter)
+    head = edges.select("ent1", "ent2").limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        return _union_find_rows(head, edges.sparkSession)
     return _distributed_cc(edges, max_iter)
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
-    spark = edges.sparkSession
+    return _union_find_rows(
+        edges.select("ent1", "ent2").collect(), edges.sparkSession
+    )
+
+
+def _union_find_rows(rows, spark) -> DataFrame:
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -58,7 +78,6 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = edges.select("ent1", "ent2").collect()
     for r in rows:
         a, b = find(r["ent1"]), find(r["ent2"])
         if a != b:

@@ -70,8 +70,11 @@ def pr_curve(
     and fastest for a curve-sized table — and above it the two-level
     device (range-partition + per-partition running sums + a P-row
     driver offset census) keeps the whole score table out of any
-    single-partition Exchange. The labeled join is persisted so the
-    size probe and the curve share one upstream compute.
+    single-partition Exchange. The labeled join is materialized once
+    (lazy localCheckpoint + count — one job) so the size probe and the
+    curve share one upstream compute; checkpoint blocks are context-
+    cleaned on release, unlike persist(), which pinned them in the
+    cache registry for the session lifetime.
     """
     if small_rows is None:
         small_rows = adaptive.small_input_rows()
@@ -79,7 +82,7 @@ def pr_curve(
         gold.select("ent1", "ent2").withColumn("y", F.lit(1)),
         ["ent1", "ent2"],
         "left",
-    ).fillna(0, ["y"]).persist()
+    ).fillna(0, ["y"]).localCheckpoint(eager=False)
     # the gold census and the size probe are independent jobs —
     # overlap them (concurrent submission from two driver threads)
     from concurrent.futures import ThreadPoolExecutor

@@ -102,13 +102,18 @@ def scalable_rank(
     partition is the global sort order, so both paths equal
     row_number() over a global sort.
 
-    The input is persisted so the size probe and the rank read one
-    upstream compute (upstream here is usually the embed UDF / term-
-    universe distinct — the expensive part)."""
+    The input is materialized once (lazy localCheckpoint + count — one
+    job) so the size probe and the rank read one upstream compute
+    (upstream here is usually the embed UDF / term-universe distinct —
+    the expensive part). Checkpoint blocks are context-cleaned when the
+    DataFrame is released, unlike persist(), which pins blocks in the
+    cache registry until an explicit unpersist (repeated callers such
+    as limit_negatives in the k-fold loop were accumulating cached
+    blocks for the session lifetime)."""
     if small_rows is None:
         small_rows = adaptive.small_input_rows()
     spark = df.sparkSession
-    df = df.persist()
+    df = df.localCheckpoint(eager=False)
     if df.count() <= small_rows:
         return df.withColumn(
             idx_col,

@@ -37,6 +37,9 @@ standing triples (one linear scan).
 
 from __future__ import annotations
 
+import hashlib
+from dataclasses import replace as _dc_replace
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -72,34 +75,50 @@ def incremental_update(
     shape as run_pipeline over the union, plus `new_sources` and
     `new_triples`."""
     cfg = config or PipelineConfig()
-    params = cfg.kernel_params()
-    # same stage discipline as run_pipeline: every increment stage is
-    # materialized exactly once (lazy localCheckpoint + count, or
-    # parquet + lineage under checkpoint_dir with inc_-prefixed names
-    # so a shared dir resumes both plans exactly). Without this the
-    # lazy extraction→contexts→scoring DAG re-executes for every
-    # downstream action — the kernel scoring alone runs ~4x (accepted
-    # census, CC edge count, union-find collect, final reads).
-    ledger = StageLedger(spark, cfg.checkpoint_dir)
-    if new_triples is None:
-        if new_transcripts is None:
-            raise ValueError("incremental_update needs new_transcripts or new_triples")
-        extract = (
-            src_transcripts.extract_mentions
-            if cfg.extractor == "jvm"
-            else src_transcripts.extract_mentions_pandas
+    # A5 arity must be the STANDING run's: increment feature arrays are
+    # unioned with standing features, so a re-derived max_types over
+    # the union (or a mismatched explicit one) would silently mis-shape
+    # the scoring tensors. run_pipeline records max_types in its result.
+    std_mt = standing.get("max_types")
+    if cfg.derive_types:
+        if std_mt is None:
+            raise ValueError(
+                "incremental_update: derive_types=True but the standing "
+                "result carries no 'max_types' to pin the feature arity "
+                "(an arity re-derived over the union can differ from the "
+                "standing features' — silently wrong scores). Pass a "
+                "run_pipeline/incremental_update result dict, or set "
+                "cfg.max_types explicitly with derive_types=False."
+            )
+        cfg = _dc_replace(cfg, derive_types=False, max_types=std_mt)
+    elif std_mt is not None and std_mt != cfg.max_types:
+        raise ValueError(
+            f"incremental_update: cfg.max_types={cfg.max_types} != standing "
+            f"run's max_types={std_mt}; increment features would carry a "
+            "different type arity than the standing features they union with"
         )
-        new_triples = ledger.stage(
-            "inc_triples",
-            lambda: src_transcripts.mentions_to_triples(extract(new_transcripts)),
+    params = cfg.kernel_params()
+
+    # increment identity BEFORE any staging: the source set, derivable
+    # without extraction (src is a conv_id prefix on the transcripts
+    # path). Stage names are namespaced by its fingerprint, so a shared
+    # checkpoint_dir resumes a stage ONLY for the same increment —
+    # a second, different feed (or a chained increment) pointed at the
+    # same dir gets fresh stage dirs instead of silently loading the
+    # previous increment's parquet.
+    if new_triples is not None:
+        src_probe = new_triples.select("src")
+    elif new_transcripts is not None:
+        src_probe = new_transcripts.select(
+            F.substring_index("conv_id", "_", 1).alias("src")
         )
     else:
-        new_triples = ledger.stage("inc_triples", lambda t=new_triples: t)
+        raise ValueError("incremental_update needs new_transcripts or new_triples")
+    new_srcs = sorted(r["src"] for r in src_probe.distinct().collect())
+    inc_fp = hashlib.md5(",".join(new_srcs).encode()).hexdigest()[:10]
+    inc = f"inc_{inc_fp}"
 
     std_triples = standing["triples"]
-    new_srcs = sorted(
-        r["src"] for r in new_triples.select("src").distinct().collect()
-    )
     std_srcs = {r["src"] for r in std_triples.select("src").distinct().collect()}
     overlap = std_srcs.intersection(new_srcs)
     if overlap:
@@ -108,9 +127,30 @@ def incremental_update(
             f"(in-place source growth changes standing contexts); overlap: {sorted(overlap)}"
         )
 
+    # same stage discipline as run_pipeline: every increment stage is
+    # materialized exactly once (lazy localCheckpoint + count, or
+    # parquet + lineage under checkpoint_dir with inc_<fingerprint>_
+    # names so a shared dir resumes both plans exactly). Without this
+    # the lazy extraction→contexts→scoring DAG re-executes for every
+    # downstream action — the kernel scoring alone runs ~4x (accepted
+    # census, CC edge count, union-find collect, final reads).
+    ledger = StageLedger(spark, cfg.checkpoint_dir)
+    if new_triples is None:
+        extract = (
+            src_transcripts.extract_mentions
+            if cfg.extractor == "jvm"
+            else src_transcripts.extract_mentions_pandas
+        )
+        new_triples = ledger.stage(
+            f"{inc}_triples",
+            lambda: src_transcripts.mentions_to_triples(extract(new_transcripts)),
+        )
+    else:
+        new_triples = ledger.stage(f"{inc}_triples", lambda t=new_triples: t)
+
     # linear stages over the increment only
     new_ctx = ledger.stage(
-        "inc_contexts",
+        f"{inc}_contexts",
         lambda: contexts.build_contexts(
             new_triples,
             bag_of_neighbours=cfg.bag_of_neighbours,
@@ -118,13 +158,13 @@ def incremental_update(
         ),
     )
     new_features = ledger.stage(
-        "inc_features",
+        f"{inc}_features",
         lambda: contexts.assemble_features(
             new_ctx, cfg.max_types, cfg.max_paths, cfg.max_pathlen
         ),
     )
     new_prop_ctx = ledger.stage(
-        "inc_prop_contexts", lambda: contexts.build_prop_contexts(new_triples)
+        f"{inc}_prop_contexts", lambda: contexts.build_prop_contexts(new_triples)
     )
 
     concepts_std = standing.get("concepts")
@@ -146,7 +186,7 @@ def incremental_update(
         from veealign_spark.operators import scoring
 
         terms_inc = ledger.stage(
-            "inc_vocab",
+            f"{inc}_vocab",
             lambda: vocab_std.unionByName(
                 scoring.term_universe(new_triples, concepts_new, label_map)
             ).distinct(),
@@ -183,7 +223,7 @@ def incremental_update(
             n_salt=cfg.n_salt,
             touch_sources=new_srcs,
         )
-    inc_cand = ledger.stage("inc_candidates", lambda: inc_cand_lazy)
+    inc_cand = ledger.stage(f"{inc}_candidates", lambda: inc_cand_lazy)
 
     pn = cand.with_norm(props_all)
     prop_cand = (
@@ -204,7 +244,7 @@ def incremental_update(
         prop_ctx_all, inc_cand, prop_cand, label_map=label_map,
         terms=terms_inc,
     )
-    scores = ledger.stage("inc_scores", lambda: scores_lazy)
+    scores = ledger.stage(f"{inc}_scores", lambda: scores_lazy)
 
     threshold = params.threshold
     if gold is not None:
@@ -212,7 +252,7 @@ def incremental_update(
 
         threshold, _f1 = metrics_ops.best_threshold(scores, gold)
     alignments = ledger.stage(
-        "inc_alignments",
+        f"{inc}_alignments",
         lambda: scores.withColumn(
             "accepted", F.col("score") >= F.lit(threshold)
         ),
@@ -229,7 +269,7 @@ def incremental_update(
         .unionByName(accepted_new.select("ent1", "ent2"))
     )
     clusters = ledger.stage(
-        "inc_clusters", lambda: canonicalize.connected_components(edges)
+        f"{inc}_clusters", lambda: canonicalize.connected_components(edges)
     )
     # KG materialization: remap the STANDING canonical tables through
     # the (old_canon -> new_canon) merge map + union the increment's
@@ -242,7 +282,7 @@ def incremental_update(
         )
     else:  # older standing dicts without materialized KG tables
         kg = canonicalize.materialize_kg(triples_all, clusters)
-    kg = {k: ledger.stage(f"inc_{k}", lambda df=v: df) for k, v in kg.items()}
+    kg = {k: ledger.stage(f"{inc}_{k}", lambda df=v: df) for k, v in kg.items()}
     ledger.flush()
 
     return {
@@ -264,5 +304,6 @@ def incremental_update(
         "unstaged_timings": timings,
         "metrics": ledger.metrics,
         "new_sources": new_srcs,
+        "max_types": cfg.max_types,
         **kg,
     }

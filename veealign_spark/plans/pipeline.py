@@ -479,6 +479,7 @@ def run_pipeline(
         "clusters": clusters,
         "metrics": ledger.metrics,
         "params": params,
+        "max_types": cfg.max_types,
         "threshold": threshold,
         "vector_mode": vector_mode,
         "unstaged_timings": timings,
