@@ -44,6 +44,9 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables, no_broadcast):
     # and the join result is correct
     n = joined.count()
     assert n == spark.table(t1).count()
+    # the EXECUTED (AQE-final) plan is still exchange-free
+    final = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in final, final
 
 
 def test_unbucketed_join_does_exchange(spark, bucketed_tables, triples_sdf, no_broadcast):

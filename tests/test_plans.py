@@ -57,3 +57,48 @@ def test_dim_join_broadcasts(spark):
     plan = _plan(j)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Executed-plan (AQE-final) asserts for the BENCH/PLANS.md headline
+# invariants — run the ACTUAL contract queries, then inspect the final
+# adaptive plan so a refactor can't regress what the doc claims.
+# ---------------------------------------------------------------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # finalize the adaptive plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q3_executed_plan_broadcast_only(spark):
+    """Both q3 joins stay broadcast in the EXECUTED plan (customer by
+    hint, orders via AQE/auto threshold) and the lineitem scan is
+    pruned to exactly the three referenced columns."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["tpch_q3_topk"](spark, SF_DIR)
+    plan = _executed_plan(q)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    li_scans = [
+        ln for ln in plan.splitlines()
+        if "lineitem" in ln and "ReadSchema" in ln
+    ]
+    assert li_scans, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", li_scans[0])
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_extendedprice", "l_discount"}, cols
+
+
+def test_extraction_executed_plan_prunes_columns(spark, staged):
+    """Extraction's EXECUTED plan still reads only (conv_id, text):
+    the raw text is parsed inside the scan stage and never shuffles."""
+    df = mentions_to_triples(extract_mentions(staged))
+    plan = _executed_plan(df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",")}
+    assert cols == {"conv_id", "text"}, cols

@@ -134,3 +134,90 @@ def test_train_kernel_converges_on_separable_toy():
         train, val, base, num_epochs=10, validation_interval=20, seed=5
     )
     np.testing.assert_array_equal(params.out_w, params2.out_w)  # deterministic
+
+
+# ---------------------------------------------------------------------------
+# Distributed full-pool threshold tuning (no unbounded driver collect)
+# ---------------------------------------------------------------------------
+
+def _one_pair_track(spark):
+    from pyspark.sql import functions as F
+
+    from veealign_spark.plans import oaei_eval
+    from veealign_spark.sources import owl
+    from veealign_spark.sources.oaei import load_alignment_rdf
+
+    ds = "/root/reference/datasets/conference"
+    triplets = [
+        t for t in oaei_eval.conference_pairs(ds)
+        if t[2].endswith("cmt-conference.rdf")
+    ]
+    assert triplets, "conference fixture missing"
+    p1, p2, apath = triplets[0]
+    tables = owl.ontology_tables(spark, [p1, p2])
+    gold_all = oaei_eval.gold_keys(load_alignment_rdf(spark, apath)).filter(
+        F.col("relation") == "="
+    )
+    pair_df = spark.createDataFrame(
+        [tuple(sorted((owl.ontology_name(p1), owl.ontology_name(p2))))],
+        "src1 string, src2 string",
+    )
+    return tables, gold_all, pair_df
+
+
+def test_prepare_training_never_collects_the_uncapped_pool(spark, monkeypatch):
+    """T2 contract at the driver boundary: every collect inside
+    prepare_training is universe-sized or negative-capped — the
+    quadratic labeled pool stays distributed (it is tuned over by the
+    distributed A9 sweep, tune_threshold)."""
+    from veealign_spark.plans import oaei_eval, train_oaei
+
+    tables, gold_all, pair_df = _one_pair_track(spark)
+    cfg = oaei_eval.reference_config()
+    sizes = []
+    # patch the CONCRETE DataFrame class (pyspark 4 routes collect
+    # through pyspark.sql.classic.dataframe.DataFrame, not the parent)
+    cls = type(tables["triples"])
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    prep = train_oaei.prepare_training(
+        spark, tables, cfg, gold_all, pair_df, max_false=300
+    )
+    monkeypatch.undo()
+    pool_n = prep["lab_c_full"].count() + prep["lab_p_full"].count()
+    assert pool_n > 1000, pool_n  # the pool is genuinely quadratic-sized
+    assert max(sizes) < pool_n, (max(sizes), pool_n)
+
+
+def test_tune_threshold_equals_driver_sweep(spark):
+    """The distributed argmax-F1 sweep over the full labeled pool
+    (tune_threshold -> metrics.best_threshold) equals a driver-side
+    f1_sweep over the same collected scores."""
+    from pyspark.sql import functions as F
+
+    from veealign_spark.plans import oaei_eval, train_oaei
+
+    tables, gold_all, pair_df = _one_pair_track(spark)
+    cfg = oaei_eval.reference_config()
+    prep = train_oaei.prepare_training(
+        spark, tables, cfg, gold_all, pair_df, max_false=300
+    )
+    params = prep["base_params"]
+    thr, f1 = train_oaei.tune_threshold(prep, params)
+    scores_df, gold_df = train_oaei.full_pool_scores(prep, params)
+    pdf = (
+        scores_df.join(
+            gold_df.withColumn("y", F.lit(1.0)), ["ent1", "ent2"], "left"
+        )
+        .fillna(0.0, ["y"])
+        .toPandas()
+    )
+    thr2, f12 = tr.f1_sweep(pdf["score"].to_numpy(), pdf["y"].to_numpy())
+    assert f1 == pytest.approx(f12, abs=1e-9), (f1, f12)
+    assert thr == pytest.approx(thr2, abs=1e-9), (thr, thr2)

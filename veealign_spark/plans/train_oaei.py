@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from veealign_spark.operators import candidates as cand
-from veealign_spark.operators import contexts, kernel_np, sampling, scoring, training
+from veealign_spark.operators import contexts, sampling, scoring, training
 from veealign_spark.operators.kernel_np import KernelParams, default_params
 from veealign_spark.plans import oaei_eval
 from veealign_spark.plans.pipeline import PipelineConfig
@@ -89,21 +89,30 @@ def prepare_training(
     ]
     emb_bc = scoring.EmbBroadcast.from_terms(spark, terms, cfg.emb_dim)
     emb_idx = scoring.emb_index_df(spark, emb_bc)
-    enc = scoring.encode_features(
+    # the encoded feature tables are kept BOTH as DataFrames (for the
+    # distributed full-pool threshold sweep — tune_threshold) and as
+    # collected rows (for the entity-universe-sized gradient arrays);
+    # the lazy checkpoint makes the collect materialize blocks the
+    # DataFrame reuse then reads instead of recomputing the encode
+    enc_df = scoring.encode_features(
         features, emb_idx, max_types, cfg.max_paths, cfg.max_pathlen,
         label_map=label_map,
-    ).collect()
-    encp = scoring.encode_prop_contexts(prop_ctx, emb_idx, label_map=label_map).collect()
+    ).localCheckpoint(eager=False)
+    enc = enc_df.collect()
+    encp_df = scoring.encode_prop_contexts(
+        prop_ctx, emb_idx, label_map=label_map
+    ).localCheckpoint(eager=False)
+    encp = encp_df.collect()
 
-    # labeled concept pairs (J1+J3): the FULL pool is collected for
-    # density-true threshold tuning (a threshold tuned on a balanced
-    # sample over-accepts by the negative:positive density ratio at
-    # track scale); the T2 negative cap applies only to the arrays the
-    # gradient sees
+    # labeled concept pairs (J1+J3): the FULL pool stays a DataFrame —
+    # density-true threshold tuning over it is the distributed
+    # tune_threshold sweep (a threshold tuned on a balanced sample
+    # over-accepts by the negative:positive density ratio at track
+    # scale). Only the T2-capped batches the gradient sees are ever
+    # collected; nothing pool-sized reaches the driver.
     cn = cand.with_norm(concepts).select("src", "key")
     gold_c = oaei_eval.orient_pairs(gold_all.select("ent1", "ent2"))
     lab_c_full = _labeled_pairs(cn, pair_df, gold_c).localCheckpoint(eager=False)
-    c_full = [(r["ent1"], r["ent2"], bool(r["y"])) for r in lab_c_full.collect()]
     lab_c = sampling.limit_negatives(lab_c_full, max_false, label_col="y", seed=seed)
     c_rows = [(r["ent1"], r["ent2"], bool(r["y"])) for r in lab_c.collect()]
 
@@ -112,9 +121,8 @@ def prepare_training(
     for kind in ("Object Property", "Datatype Property"):
         lp = _labeled_pairs(pn.filter(F.col("kind") == kind), pair_df, gold_c)
         lab_p = lp if lab_p is None else lab_p.unionByName(lp)
-    lab_p = lab_p.localCheckpoint(eager=False)
-    p_full = [(r["ent1"], r["ent2"], bool(r["y"])) for r in lab_p.collect()]
-    lab_p = sampling.limit_negatives(lab_p, max_false, label_col="y", seed=seed + 1)
+    lab_p_full = lab_p.localCheckpoint(eager=False)
+    lab_p = sampling.limit_negatives(lab_p_full, max_false, label_col="y", seed=seed + 1)
     p_rows = [(r["ent1"], r["ent2"], bool(r["y"])) for r in lab_p.collect()]
 
     node_map = {
@@ -185,55 +193,46 @@ def prepare_training(
         "emb_dim": cfg.emb_dim,
         "mat": mat, "enc_map": enc_map, "encp_map": encp_map,
         "node_map": node_map,
-        "c_full": c_full, "p_full": p_full,
+        "lab_c_full": lab_c_full, "lab_p_full": lab_p_full,
+        "enc_df": enc_df, "encp_df": encp_df,
+        "emb_bc": emb_bc, "label_map": label_map,
     }
 
 
-def score_full_pool(prep: dict, params: KernelParams) -> tuple[np.ndarray, np.ndarray]:
-    """Forward-only scores of the FULL labeled candidate pool (exact
-    kernel_np index path, chunked so the feature tensors never
-    materialize at once). Direct-route pairs score by raw name cosine
-    (A6), mirroring the pipeline."""
-    mat, enc_map, encp_map = prep["mat"], prep["enc_map"], prep["encp_map"]
-    node_map = prep["node_map"]
-    T, P, L = params.n_types, params.max_paths, params.max_pathlen
-    scores, labels = [], []
-    featurized = [r for r in prep["c_full"] if r[0] in enc_map and r[1] in enc_map]
-    direct = [r for r in prep["c_full"] if not (r[0] in enc_map and r[1] in enc_map)]
-    chunk = 4096
-    for lo in range(0, len(featurized), chunk):
-        part = featurized[lo:lo + chunk]
-        nodes = np.array(
-            [[enc_map[e1][0], enc_map[e2][0]] for e1, e2, _ in part], dtype=np.int64
-        )
-        feats = np.stack([
-            np.stack([enc_map[e1][1].reshape(T, P, L),
-                      enc_map[e2][1].reshape(T, P, L)])
-            for e1, e2, _ in part
-        ])
-        scores.append(kernel_np.score_concept_pairs(nodes, feats, mat, params))
-        labels.append(np.array([float(y) for _, _, y in part]))
-    if direct:
-        v1 = mat[[node_map.get(e1, 0) for e1, _, _ in direct]]
-        v2 = mat[[node_map.get(e2, 0) for _, e2, _ in direct]]
-        scores.append(kernel_np.direct_cosine(v1, v2))
-        labels.append(np.array([float(y) for _, _, y in direct]))
-    p_feat = [r for r in prep["p_full"] if r[0] in encp_map and r[1] in encp_map]
-    if p_feat:
-        agg = np.zeros((len(p_feat), 2, 3, prep["emb_dim"]))
-        for i, (e1, e2, _y) in enumerate(p_feat):
-            for side, key in enumerate((e1, e2)):
-                for slot, idxs in enumerate(encp_map[key]):
-                    agg[i, side, slot] = mat[idxs].sum(axis=0)
-        scores.append(kernel_np.score_property_pairs_emb(agg, params))
-        labels.append(np.array([float(y) for _, _, y in p_feat]))
-    p_direct = [r for r in prep["p_full"] if not (r[0] in encp_map and r[1] in encp_map)]
-    if p_direct:
-        v1 = mat[[node_map.get(e1, 0) for e1, _, _ in p_direct]]
-        v2 = mat[[node_map.get(e2, 0) for _, e2, _ in p_direct]]
-        scores.append(kernel_np.direct_cosine(v1, v2))
-        labels.append(np.array([float(y) for _, _, y in p_direct]))
-    return np.concatenate(scores), np.concatenate(labels)
+def full_pool_scores(prep: dict, params: KernelParams) -> tuple[DataFrame, DataFrame]:
+    """Distributed forward-only scores of the FULL labeled candidate
+    pool: (scores, pool_gold) DataFrames. Rides the pipeline's exact
+    int64-index kernel path (score_*_candidates_fast; A6 direct-cosine
+    route for feature-less pairs) over the prep's encoded tables —
+    nothing pool-sized ever reaches the driver. pool_gold is the
+    positive subset of the pool (the density-true tuning target)."""
+    scores_c = scoring.score_concept_candidates_fast(
+        prep["lab_c_full"].select("ent1", "ent2"),
+        prep["enc_df"], prep["emb_bc"], params, prep["max_types"],
+        label_map=prep["label_map"],
+    )
+    scores_p = scoring.score_prop_candidates_fast(
+        prep["lab_p_full"].select("ent1", "ent2"),
+        prep["encp_df"], prep["emb_bc"], params,
+        label_map=prep["label_map"],
+    )
+    gold = (
+        prep["lab_c_full"].filter(F.col("y")).select("ent1", "ent2")
+        .unionByName(prep["lab_p_full"].filter(F.col("y")).select("ent1", "ent2"))
+    )
+    return scores_c.unionByName(scores_p), gold
+
+
+def tune_threshold(prep: dict, params: KernelParams) -> tuple[float, float]:
+    """Density-true argmax-F1 threshold over the full labeled pool via
+    the distributed A9 sweep (metrics.best_threshold — zero
+    single-partition exchanges on the scale path). Replaces the former
+    driver-side score_full_pool twin, which collected every labeled
+    pair to the driver: the one unbounded collect left in the repo."""
+    from veealign_spark.operators import metrics as metrics_ops
+
+    scores, gold = full_pool_scores(prep, params)
+    return metrics_ops.best_threshold(scores, gold)
 
 
 def element_split(
@@ -313,15 +312,16 @@ def train_track(
     # NOTE: the loop's threshold came from the BALANCED validation
     # slice and over-accepts at track density (negatives outnumber
     # positives ~500:1 at inference). Callers re-tune on a full
-    # candidate pool: evaluate_with_params(tune_on_gold=True) over the
-    # TRAINING pairs (distributed A9 sweep — fast), or score_full_pool
-    # + f1_sweep for a no-Spark exact twin (verified equal: both gave
-    # thr 0.873 / F1 0.732 on the conference track).
+    # candidate pool: tune_threshold(prep, params) (distributed A9
+    # sweep over the prep's labeled pool — fastest, zero unbounded
+    # collects) or evaluate_with_params(tune_on_gold=True) over the
+    # TRAINING pairs (re-scores the track; pinned equal by pytest —
+    # both give thr 0.873 / F1 0.732 on the conference track).
     report["max_types"] = prep["max_types"]
     report["n_train"] = len(tr.y)
     report["n_val"] = len(va.y)
     report["n_direct_excluded"] = prep["n_direct"]
-    return {"params": params, "report": report, "tables": tables}
+    return {"params": params, "report": report, "tables": tables, "prep": prep}
 
 
 def evaluate_with_params(
