@@ -83,3 +83,59 @@ def test_multifarm_real_pair_e2e(spark):
     )
     m = res["micro"]
     assert m["tp"] >= 20 and m["f1"] >= 0.85, m
+
+
+def test_ar_fr_gold_phantom_ids_are_a_fixture_property():
+    """Root cause of the ar-fr multifarm outlier (F1 0.149 vs ~0.64
+    for every other ar pairing): ~74% of ar-fr cross-ontology gold
+    cells reference coded ids that DO NOT EXIST in the named ontology
+    file (e.g. cmt-confOf-fr-ar.rdf aligns cmt_fr's 'author' to
+    confOf_ar#c-8335305-4555146 — an id that appears only in
+    cmt-ar.owl, never in confOf-ar.owl). An engine cannot emit an
+    entity absent from its input, so those cells are unreachable fn
+    by construction and every correct emission over the REAL entities
+    counts fp. This census pins that the defect is confined to the
+    ar-fr fixture files and caps reachable recall there at ~26% —
+    i.e. no engine-side tie-break (label-aware or otherwise) can
+    recover it."""
+    import collections
+    import os
+    import re
+
+    droot = "/root/reference/datasets/multifarm"
+    odir, adir = f"{droot}/ontologies", f"{droot}/alignments"
+    if not os.path.isdir(adir):
+        pytest.skip("reference checkout not present")
+    onto_ids = {}
+
+    def ids_of(name):
+        if name not in onto_ids:
+            txt = open(f"{odir}/{name}.owl", encoding="utf-8",
+                       errors="replace").read()
+            onto_ids[name] = set(re.findall(r"#((?:c|ent|op)-\d+-\d+)", txt))
+        return onto_ids[name]
+
+    pat = re.compile(
+        r'entity1 rdf:resource="http://(\w+)#([\w-]+)"/>\s*'
+        r'<entity2 rdf:resource="http://(\w+)#([\w-]+)"',
+        re.S,
+    )
+    bad = collections.defaultdict(lambda: [0, 0])
+    for f in sorted(os.listdir(adir)):
+        m = re.match(r"(\w+)-(\w+)-(\w+)-(\w+)\.rdf$", f)
+        if not m:
+            continue
+        o1, o2, l1, l2 = m.groups()
+        if o1 == o2:
+            continue
+        cells = pat.findall(open(f"{adir}/{f}", encoding="utf-8",
+                                 errors="replace").read())
+        key = tuple(sorted((l1, l2)))
+        for _s1, i1, _s2, i2 in cells:
+            bad[key][1] += 1
+            if i1 not in ids_of(f"{o1}-{l1}") or i2 not in ids_of(f"{o2}-{l2}"):
+                bad[key][0] += 1
+    phantom_pairs = {k: tuple(v) for k, v in bad.items() if v[0]}
+    assert set(phantom_pairs) == {("ar", "fr")}, phantom_pairs
+    n_bad, n = phantom_pairs[("ar", "fr")]
+    assert 0.70 <= n_bad / n <= 0.80, (n_bad, n)

@@ -165,3 +165,24 @@ def test_gold_key_mapping(spark):
     rows = {(r["ent1"], r["ent2"]) for r in gold_keys(g).collect()}
     assert ("cmt#Conference", "conference#Conference_volume") in rows
     assert ("crs_dr#X", "ekaw#Y") in rows
+
+
+@needs_reference
+def test_parser_parity_german_ontologies():
+    """Parse parity extended to the German single-pair tracks
+    (lebensmittel / freizeit — reference README.md:63-78): exact
+    triple/entity/property/language equality vs the reference parser
+    on all 4 ontologies."""
+    paths = sorted(
+        glob.glob(os.path.join(REF, "datasets/lebensmittel/ontologies/*.owl"))
+        + glob.glob(os.path.join(REF, "datasets/freizeit/ontologies/*.owl"))
+    )
+    assert len(paths) == 4
+    for path in paths:
+        ref = _reference_ontology(path)
+        mine = owl.parse_owl(path)
+        ref_triples = set(ref.get_triples())
+        my_triples = {(s, o, p, k) for (s, p, o, k) in mine["triples"]}
+        assert my_triples == ref_triples, path
+        assert set(mine["entities"]) == set(ref.get_entities()), path
+        assert mine["language"] == ref.language, path

@@ -140,7 +140,9 @@ def pr_curve(
         .agg(F.max("tp").alias("tp"), F.max("n").alias("n"))
         .withColumn("fp", F.col("n") - F.col("tp"))
         .withColumn("precision", F.col("tp") / F.col("n"))
-        .withColumn("recall", F.col("tp") / F.lit(float(n_gold)))
+        # max(n_gold, 1): an empty gold makes recall 0, not an ANSI
+        # divide-by-zero error
+        .withColumn("recall", F.col("tp") / F.lit(float(max(n_gold, 1))))
     )
     return curve.withColumn(
         "f1",

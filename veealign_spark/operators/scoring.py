@@ -150,12 +150,22 @@ def build_embeddings_table(
     concepts: DataFrame | None = None,
     label_map: DataFrame | None = None,
     terms: DataFrame | None = None,
+    external: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed embeddings dim table (EMBEDDINGS schema): normalized
     term -> (idx, vec). Deterministic: idx assigned by sorted term rank
     via the two-level scalable_rank (no single-partition sort); idx 0
     stays reserved for the all-zero <UNK>/pad row — the row-0-zeros
-    invariant, data_preprocessing.py:201,245."""
+    invariant, data_preprocessing.py:201,245.
+
+    `external` is the bring-your-own-encoder seam (S3/S4 unified —
+    the reference loads precomputed USE vectors,
+    data_preprocessing.py:25-29, and merges a vector cache,
+    train.py:72-87): a (term, vec:array<double>) table, any term
+    spelling (normalized here; normalization is idempotent). Terms it
+    covers take its vectors verbatim; uncovered terms fall back to the
+    deterministic stub — so a deployment swaps encoders by publishing
+    a vectors table, never touching engine code."""
     embed = embed_udf_factory(dim)
     base = terms if terms is not None else term_universe(triples, concepts, label_map)
     norm = (
@@ -163,7 +173,42 @@ def build_embeddings_table(
         .filter(F.col("key") != "")
         .distinct()
     )
-    return scalable_rank(norm, "key").withColumn("vec", embed(F.col("key")))
+    ranked = scalable_rank(norm, "key")
+    if external is None:
+        return ranked.withColumn("vec", embed(F.col("key")))
+    ext = (
+        external.select(
+            norm_label_col(F.col("term")).alias("key"),
+            F.col("vec").cast("array<double>").alias("__ext_vec"),
+        )
+        .filter(F.col("key") != "")
+        .dropDuplicates(["key"])
+    )
+    return (
+        ranked.join(ext, "key", "left")
+        .withColumn("vec", F.coalesce("__ext_vec", embed(F.col("key"))))
+        .drop("__ext_vec")
+    )
+
+
+def external_vec_map(external: DataFrame, keys: list[str]) -> dict:
+    """normalized-key -> np.ndarray for the given vocabulary slice of
+    an external (term, vec) table. Inner join against the (bounded,
+    driver-held) vocabulary then collect — the result is at most
+    vocabulary-sized, the same bound the broadcast layout already
+    lives under."""
+    spark = external.sparkSession
+    tdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    rows = (
+        external.select(
+            norm_label_col(F.col("term")).alias("key"),
+            F.col("vec").cast("array<double>").alias("vec"),
+        )
+        .dropDuplicates(["key"])
+        .join(F.broadcast(tdf), "key")
+        .collect()
+    )
+    return {r["key"]: np.asarray(r["vec"], dtype=np.float64) for r in rows}
 
 
 class EmbBroadcast:
@@ -199,7 +244,11 @@ class EmbBroadcast:
     def from_terms(
         cls, spark: SparkSession, terms: list[str], dim: int,
         max_rows: int = 5_000_000,
+        external: DataFrame | None = None,
     ) -> "EmbBroadcast":
+        """`external`: optional (term, vec) table — the bring-your-own
+        -encoder seam (see build_embeddings_table). Covered keys take
+        the external vectors verbatim; the stub fills the rest."""
         if len(terms) > max_rows:
             raise ValueError(
                 f"EmbBroadcast.from_terms over {len(terms)} terms exceeds "
@@ -208,6 +257,12 @@ class EmbBroadcast:
             )
         keys = sorted({normalize_term(t) for t in terms} - {""})
         mat = np.vstack([np.zeros((1, dim)), embed_terms_np(keys, dim)])
+        if external is not None:
+            ext = external_vec_map(external, keys)
+            for i, k in enumerate(keys):
+                v = ext.get(k)
+                if v is not None:
+                    mat[i + 1] = v
         obj = cls.__new__(cls)
         obj.bc = spark.sparkContext.broadcast(
             {"indexer": {k: i + 1 for i, k in enumerate(keys)}, "matrix": mat}

@@ -312,3 +312,44 @@ def conference_pairs(dataset_dir: str) -> list[tuple[str, str, str]]:
         if os.path.exists(p1) and os.path.exists(p2):
             out.append((p1, p2, os.path.join(adir, f)))
     return out
+
+
+def track_pairs(dataset_dir: str) -> list[tuple[str, str, str]]:
+    """(onto1, onto2, alignment) triplets for ANY track layout.
+
+    conference names its golds `<a>-<b>.rdf` after the ontology file
+    stems (conference_pairs); lebensmittel/freizeit do not (e.g. gold
+    `Google_Lebensmittel-web_Lebensmittel.rdf` over ontologies
+    `Google.Lebensmittel.v2.owl` / `web.Lebensmittel.v2.owl` —
+    reference README.md:63-78 selects these tracks by config name, not
+    filename). Fallback: read each gold's <onto1>/<onto2> Ontology
+    IRIs (the same IRIs its cells use) and match the ontology files by
+    IRI basename."""
+    out = conference_pairs(dataset_dir)
+    if out:
+        return out
+    import glob as _glob
+    import xml.etree.ElementTree as ET
+
+    adir = os.path.join(dataset_dir, "alignments")
+    odir = os.path.join(dataset_dir, "ontologies")
+    by_base = {
+        os.path.basename(p): p
+        for p in _glob.glob(os.path.join(odir, "*.owl"))
+    }
+    A = "{http://knowledgeweb.semanticweb.org/heterogeneity/alignment#}"
+    RDF_ABOUT = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}about"
+    for f in sorted(os.listdir(adir)):
+        if not f.endswith(".rdf"):
+            continue
+        root = ET.parse(os.path.join(adir, f)).getroot()
+        ontos = []
+        for tag in ("onto1", "onto2"):
+            el = root.find(f".//{A}{tag}/{A}Ontology")
+            if el is None:
+                break
+            about = (el.get(RDF_ABOUT) or "").rstrip("#")
+            ontos.append(by_base.get(about.rsplit("/", 1)[-1]))
+        if len(ontos) == 2 and all(ontos):
+            out.append((ontos[0], ontos[1], os.path.join(adir, f)))
+    return out

@@ -63,6 +63,14 @@ class PipelineConfig:
     # kernel_params() returns them verbatim (threshold included) and
     # derive_types must match the n_types they were trained with
     params_override: KernelParams | None = None
+    # bring-your-own-encoder seam: path to a (term, vec:array<double>)
+    # parquet table (any term spelling; normalized on load). Covered
+    # terms take these vectors verbatim on BOTH vector layouts
+    # (broadcast and pre-joined); uncovered terms fall back to the
+    # deterministic stub. Reference semantics: precomputed USE load
+    # (data_preprocessing.py:25-29) + vector-cache merge
+    # (train.py:72-87) — S3/S4 unified.
+    external_vectors: str | None = None
 
     def kernel_params(self) -> KernelParams:
         if self.params_override is not None:
@@ -193,6 +201,11 @@ def score_candidates_stage(
     emb_bc = None
     emb_table = None
     timings: dict[str, float] = {}
+    external = (
+        spark.read.parquet(cfg.external_vectors)
+        if cfg.external_vectors
+        else None
+    )
     t0 = time.time()
     # `terms` lets the caller supply a pre-materialized vocabulary
     # (the pipeline stages it for resume; the incremental plan derives
@@ -211,7 +224,8 @@ def score_candidates_stage(
         if len(head) <= cap:
             vector_mode = "broadcast"
             emb_bc = scoring.EmbBroadcast.from_terms(
-                spark, [r["term"] for r in head], cfg.emb_dim
+                spark, [r["term"] for r in head], cfg.emb_dim,
+                external=external,
             )
         elif cfg.vector_mode == "broadcast":
             raise ValueError(
@@ -224,7 +238,8 @@ def score_candidates_stage(
             vector_mode = "prejoined"
     if vector_mode == "prejoined":
         emb_table = scoring.build_embeddings_table(
-            spark, triples, cfg.emb_dim, concepts, label_map, terms=tu
+            spark, triples, cfg.emb_dim, concepts, label_map, terms=tu,
+            external=external,
         )
     elif owns_tu:
         tu.unpersist()

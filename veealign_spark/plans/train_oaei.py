@@ -37,13 +37,19 @@ from veealign_spark.sources.oaei import load_alignment_rdf
 
 def _labeled_pairs(universe: DataFrame, pair_df: DataFrame, gold: DataFrame) -> DataFrame:
     """Cross product within the given source pairs, left-labeled by
-    gold (J1 + J3)."""
+    gold (J1 + J3). The single-column pre-filters must join DISTINCT
+    source names: a source that participates in m gold pairs appears m
+    times in pair_df, and joining the raw column would emit every
+    labeled pair m1*m2 times — a silent ~(pairs/sources)^2 inflation
+    of the pool (pure redundancy: each (ent1, ent2) belongs to exactly
+    one source pair) that wastes scoring compute and double-counts tp
+    in any sweep that trusts row counts."""
     a = universe.select(F.col("src").alias("src1"), F.col("key").alias("ent1"))
     b = universe.select(F.col("src").alias("src2"), F.col("key").alias("ent2"))
     pairs = (
-        a.join(F.broadcast(pair_df.select("src1")), "src1")
-        .crossJoin(b.join(F.broadcast(pair_df.select("src2")), "src2"))
-        .join(F.broadcast(pair_df), ["src1", "src2"])
+        a.join(F.broadcast(pair_df.select("src1").distinct()), "src1")
+        .crossJoin(b.join(F.broadcast(pair_df.select("src2").distinct()), "src2"))
+        .join(F.broadcast(pair_df.dropDuplicates()), ["src1", "src2"])
         .select("ent1", "ent2")
     )
     return pairs.join(

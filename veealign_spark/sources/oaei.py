@@ -74,11 +74,17 @@ def load_alignment_rdf(spark, path: str) -> DataFrame:
     """S2: parse an Alignment-format file back into a gold DataFrame
     (ent1, ent2, relation, measure) — the loader the reference uses
     for its gold fixtures (train.py:15-25)."""
+    # the Alignment namespace appears both WITH and WITHOUT a trailing
+    # '#' in real OAEI files (conference golds: bare; lebensmittel /
+    # freizeit golds: '#') — probe which one this file uses
+    tree = ET.parse(path)
+    a_ns = "http://knowledgeweb.semanticweb.org/heterogeneity/alignment"
+    if next(tree.iter(f"{{{a_ns}}}Cell"), None) is None:
+        a_ns += "#"
     ns = {
-        "a": "http://knowledgeweb.semanticweb.org/heterogeneity/alignment",
+        "a": a_ns,
         "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
     }
-    tree = ET.parse(path)
     rows = []
     for cell in tree.iter(f"{{{ns['a']}}}Cell"):
         e1 = cell.find("a:entity1", ns).get(f"{{{ns['rdf']}}}resource")
