@@ -49,13 +49,14 @@ def main() -> None:
             spark, f"{ref_root}/{ds}", config=cfg_u, triplets=trip
         )
         t_u = time.time() - t0
-        cfg_t = oaei_eval.reference_config(
-            bag_of_neighbours=False, weighted_sum=False, **kw
-        )
+        # trained weights are tied to the feature geometry they were
+        # trained with (conference reference config: max_paths=21,
+        # max_pathlen=8) — the track's own structural knobs cannot be
+        # applied to a frozen kernel, so the default config rides along
         t0 = time.time()
         res_t = train_oaei.evaluate_with_params(
             spark, f"{ref_root}/{ds}", trained["params"],
-            trained["report"]["max_types"], triplets=trip, config=cfg_t,
+            trained["report"]["max_types"], triplets=trip,
             tune_on_gold=True,
         )
         t_t = time.time() - t0
