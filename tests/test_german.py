@@ -55,3 +55,21 @@ def test_lebensmittel_track_e2e_pinned(spark):
     assert m["f1"] == pytest.approx(0.6667, abs=1e-3)
     # tuned global threshold reaches the pair's own F1 ceiling
     assert res["per_pair"][0]["f1_ceiling"] == pytest.approx(0.667, abs=1e-3)
+
+
+@needs_reference
+def test_freizeit_track_e2e_pinned(spark):
+    """freizeit with its reference config column (max_paths=16,
+    max_pathlen=1): near-token-identical dmoz/Google category slices.
+    The symmetric-best 1:1 filter lifts final F1 above the no-1:1
+    single-threshold ceiling — pinned exactly."""
+    ds = os.path.join(REF, "freizeit")
+    cfg = oaei_eval.reference_config(
+        max_paths=16, max_pathlen=1, bag_of_neighbours=False, weighted_sum=False
+    )
+    res = oaei_eval.evaluate_track(
+        spark, ds, config=cfg, triplets=oaei_eval.track_pairs(ds)
+    )
+    m = res["micro"]
+    assert (m["tp"], m["fp"], m["fn"]) == (60, 0, 7), m
+    assert m["f1"] == pytest.approx(0.9449, abs=1e-3)

@@ -90,7 +90,16 @@ class PipelineConfig:
 
 
 class StageLedger:
-    """Stage snapshot/resume + per-partition lineage + metrics."""
+    """Stage snapshot/resume + per-partition lineage + metrics.
+
+    Without a checkpoint_dir, stages materialize as local checkpoints
+    (memory+disk blocks in the executors). Local-checkpoint blocks are
+    NOT recomputable — size the driver/executor heap to the largest
+    stage (env SPARK_DRIVER_MEM for the session factory; the 50-source
+    full-rerun benchmark needs 64g because its candidates/scores
+    stages hold ~100M rows). A checkpoint_dir (parquet; Iceberg
+    snapshots on a real cluster) is the durable path and the right
+    choice for any standing-KG build."""
 
     def __init__(self, spark: SparkSession, root: str | None):
         self.spark = spark
