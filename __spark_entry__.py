@@ -22,6 +22,7 @@ oracle_sql()   — DuckDB-runnable ANSI SQL equivalents for EVERY
 
 from __future__ import annotations
 
+import hashlib
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -602,6 +603,41 @@ def q_kg_alignments(spark, sf_dir):
     return res["accepted"].select("ent1", "ent2")
 
 
+def q_kg_alignments_external_vectors(spark, sf_dir):
+    """S3/S4 bring-your-own-encoder seam under the hash gate: export
+    the corpus vocabulary's vectors to a (term, vec) parquet table —
+    the shape a deployment's encoder would publish (reference USE load
+    data_preprocessing.py:25-29 + cache merge train.py:72-87) — then
+    rerun the FULL pipeline with vectors loaded through
+    PipelineConfig.external_vectors. The accepted pairs must
+    hash-match the same by-construction ground truth as kg_alignments
+    (P=1, R=1): an externally-published vectors table reproduces the
+    engine's alignments with no engine-code changes."""
+    _ensure_shipped(spark)
+    from veealign_spark.operators import scoring
+    from veealign_spark.sources.transcripts import (
+        extract_mentions,
+        mentions_to_triples,
+    )
+
+    tdf = _testdata_transcripts(spark, sf_dir)
+    triples = mentions_to_triples(extract_mentions(tdf))
+    ext_path = "/tmp/veealign_ext_vecs_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    emb = scoring.build_embeddings_table(spark, triples, 32)
+    emb.select(F.col("key").alias("term"), "vec").write.mode(
+        "overwrite"
+    ).parquet(ext_path)
+    res = run_pipeline(
+        spark,
+        tdf,
+        PipelineConfig(blocking="blocked", external_vectors=ext_path),
+        gold=_testdata_gold(spark, sf_dir),
+    )
+    return res["accepted"].select("ent1", "ent2")
+
+
 def q_p1_iri_normalize(spark, sf_dir):
     """P1/P2: IRI normalization — coalesce alt id forms, take the
     fragment after '#', strip prefixes (ontology.py:219-228 semantics
@@ -806,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_blocking_recall": q_kg_blocking_recall,
         "kg_extract_triples": q_kg_extract_triples,
         "kg_alignments": q_kg_alignments,
+        "kg_alignments_external_vectors": q_kg_alignments_external_vectors,
     }
 
 
@@ -971,6 +1008,14 @@ def oracle_sql() -> dict[str, str]:
         # the engine must emit EXACTLY the by-construction ground truth
         # (tuned threshold, full pipeline) — a hard P=1/R=1 gate
         "kg_alignments": f"""
+            SELECT ent1, ent2 FROM ({_GT_CONCEPTS}
+            UNION ALL
+            SELECT 'src1#rel_locatedIn', 'src2#rel_located_in') gt
+        """,
+        # the external-vectors (bring-your-own-encoder) run must emit
+        # the SAME ground truth — vectors loaded from a published
+        # (term, vec) table instead of the in-engine stub
+        "kg_alignments_external_vectors": f"""
             SELECT ent1, ent2 FROM ({_GT_CONCEPTS}
             UNION ALL
             SELECT 'src1#rel_locatedIn', 'src2#rel_located_in') gt
