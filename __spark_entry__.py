@@ -1669,7 +1669,18 @@ class _LazyOracleDict(dict):
     """dict of oracle SQL where some entries are computed on first
     access (they embed data-derived literals and need dataset I/O).
     keys()/len()/`in` see the lazy keys without forcing them; any value
-    read (getitem/get/items/values) forces the keys it touches."""
+    read (getitem/get/items/values) forces the keys it touches.
+
+    Two hazards this class must not leak (ADVICE r4): (1) a failing
+    thunk must stay retryable — _force calls fn() FIRST and only drops
+    the thunk on success, so a transient failure (e.g. dataset dir not
+    mounted yet) re-raises on every access instead of silently turning
+    into None; (2) C-level dict copies (dict(d), {**d}, d.copy(),
+    copy.copy) must never snapshot the None placeholder — defining
+    __iter__ forces CPython's PyDict_Merge off its fast path onto
+    keys()+__getitem__ (both force), and copy()/ __reduce__ force all
+    lazy keys explicitly. Verified empirically for all four copy forms
+    in tests/test_contract_meta.py."""
 
     def __init__(self, base: dict, lazy: dict):
         super().__init__(base)
@@ -1678,9 +1689,15 @@ class _LazyOracleDict(dict):
         self._lazy = dict(lazy)
 
     def _force(self, k):
-        fn = self._lazy.pop(k, None)
+        fn = self._lazy.get(k)
         if fn is not None:
-            super().__setitem__(k, fn())
+            val = fn()  # may raise: keep the thunk so retry re-raises
+            super().__setitem__(k, val)
+            self._lazy.pop(k, None)
+
+    def _force_all(self):
+        for k in list(self._lazy):
+            self._force(k)
 
     def __getitem__(self, k):
         self._force(k)
@@ -1691,12 +1708,24 @@ class _LazyOracleDict(dict):
             self._force(k)
         return super().get(k, default)
 
+    def __iter__(self):
+        # also kicks dict(d) / {**d} off the PyDict fast path so they
+        # route through keys()/__getitem__ (which force) instead of
+        # snapshotting the raw storage with None placeholders
+        return super().__iter__()
+
     def items(self):
-        for k in list(self._lazy):
-            self._force(k)
+        self._force_all()
         return super().items()
 
     def values(self):
-        for k in list(self._lazy):
-            self._force(k)
+        self._force_all()
         return super().values()
+
+    def copy(self):
+        self._force_all()
+        return dict(super().copy())
+
+    def __reduce__(self):
+        self._force_all()
+        return (dict, (dict(super().copy()),))

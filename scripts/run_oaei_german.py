@@ -15,6 +15,7 @@ Usage: python scripts/run_oaei_german.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -70,7 +71,9 @@ def main() -> None:
         }
         print("RESULT", ds, json.dumps(rows[ds], default=float), flush=True)
 
-    with open("/tmp/r4/german_result.json", "w") as f:
+    out_path = os.environ.get("GERMAN_RESULT_JSON", "/tmp/r4/german_result.json")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
         json.dump({"train_sec": round(t_train, 1), "tracks": rows}, f,
                   indent=1, default=float)
 

@@ -39,3 +39,35 @@ def test_no_single_partition_exchange_in_light_queries(spark, monkeypatch):
         if "Exchange SinglePartition" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_lazy_oracle_dict_copy_and_retry_semantics():
+    """_LazyOracleDict (ADVICE r4): (1) a raising thunk stays retryable
+    — the error re-raises on every access instead of degrading to None;
+    (2) C-level dict copies (dict(d), {**d}, d.copy(), copy.copy) force
+    lazy keys, never snapshotting the None placeholder."""
+    import copy as _copy
+
+    import __spark_entry__ as entry
+
+    calls = {"n": 0}
+
+    def boom():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "SELECT 1"
+
+    d = entry._LazyOracleDict({"base": "SELECT 0"}, {"lazy": boom})
+    for _ in range(2):
+        with pytest.raises(RuntimeError):
+            _ = d["lazy"]
+    assert d["lazy"] == "SELECT 1"  # third call succeeds — not None
+
+    for copier in (dict, lambda x: {**x}, lambda x: x.copy(),
+                   _copy.copy, _copy.deepcopy):
+        d2 = entry._LazyOracleDict({"base": "SELECT 0"},
+                                   {"lazy": lambda: "SELECT 1"})
+        c = copier(d2)
+        assert c["lazy"] == "SELECT 1", copier
+        assert c["base"] == "SELECT 0"

@@ -82,3 +82,31 @@ def test_external_vectors_are_actually_used(spark, triples_sdf, tmp_path):
     assert _scored_set(base) != _scored_set(ext)
     # with every vector identical, every direct cosine is 1
     assert ext["accepted"].count() > base["accepted"].count()
+
+
+def test_external_duplicate_keys_resolve_identically_on_both_layouts(spark):
+    """Duplicate raw terms that normalize to one key must resolve to
+    the SAME vector on the pre-joined and broadcast layouts (shared
+    min(vec) ordering in normalize_external) — the old per-path
+    dropDuplicates could silently diverge (ADVICE r4)."""
+    ext = spark.createDataFrame(
+        [("Foo Bar", [2.0, 2.0]), ("foo bar", [1.0, 3.0]),
+         ("foo_bar", [1.0, 2.0]), ("other", [5.0, 5.0])],
+        "term string, vec array<double>",
+    )
+    resolved = {r["key"]: r["vec"]
+                for r in scoring.normalize_external(ext, 2).collect()}
+    assert resolved["foo bar"] == [1.0, 2.0]  # lexicographic min
+    bmap = scoring.external_vec_map(ext, ["foo bar", "other"], 2)
+    assert list(bmap["foo bar"]) == [1.0, 2.0]
+    assert list(bmap["other"]) == [5.0, 5.0]
+
+
+def test_external_wrong_dimension_fails_fast(spark):
+    ext = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0])], "term string, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension 3, expected emb_dim=2"):
+        scoring.normalize_external(ext, 2)
+    with pytest.raises(ValueError, match="expected emb_dim"):
+        scoring.external_vec_map(ext, ["a"], 2)

@@ -176,14 +176,7 @@ def build_embeddings_table(
     ranked = scalable_rank(norm, "key")
     if external is None:
         return ranked.withColumn("vec", embed(F.col("key")))
-    ext = (
-        external.select(
-            norm_label_col(F.col("term")).alias("key"),
-            F.col("vec").cast("array<double>").alias("__ext_vec"),
-        )
-        .filter(F.col("key") != "")
-        .dropDuplicates(["key"])
-    )
+    ext = normalize_external(external, dim).withColumnRenamed("vec", "__ext_vec")
     return (
         ranked.join(ext, "key", "left")
         .withColumn("vec", F.coalesce("__ext_vec", embed(F.col("key"))))
@@ -191,20 +184,48 @@ def build_embeddings_table(
     )
 
 
-def external_vec_map(external: DataFrame, keys: list[str]) -> dict:
-    """normalized-key -> np.ndarray for the given vocabulary slice of
-    an external (term, vec) table. Inner join against the (bounded,
-    driver-held) vocabulary then collect — the result is at most
-    vocabulary-sized, the same bound the broadcast layout already
-    lives under."""
-    spark = external.sparkSession
-    tdf = spark.createDataFrame([(k,) for k in keys], "key string")
-    rows = (
+def normalize_external(external: DataFrame, dim: int | None = None) -> DataFrame:
+    """Canonicalize a bring-your-own-encoder (term, vec) table into a
+    (key, vec) table with exactly one row per normalized key. BOTH
+    vector layouts (pre-joined build_embeddings_table and broadcast
+    external_vec_map) resolve duplicates through this single function,
+    so they can never silently pick different vectors for the same key:
+    when several raw term spellings normalize to one key, the winner is
+    min(vec) under Spark's lexicographic array ordering — a defined,
+    layout-independent choice (the old per-path dropDuplicates kept an
+    arbitrary partition-order row, ADVICE r4).
+
+    `dim`: when given, wrong-length vectors FAIL FAST here (bounded
+    limit(1) probe) instead of flowing a mis-shaped array into the
+    kernel where it would surface as an opaque reshape error."""
+    ext = (
         external.select(
             norm_label_col(F.col("term")).alias("key"),
             F.col("vec").cast("array<double>").alias("vec"),
         )
-        .dropDuplicates(["key"])
+        .filter(F.col("key") != "")
+    )
+    if dim is not None:
+        bad = ext.filter(F.size("vec") != dim).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"external vectors table: key {bad[0]['key']!r} has "
+                f"dimension {len(bad[0]['vec'])}, expected emb_dim={dim}"
+            )
+    return ext.groupBy("key").agg(F.min("vec").alias("vec"))
+
+
+def external_vec_map(external: DataFrame, keys: list[str], dim: int | None = None) -> dict:
+    """normalized-key -> np.ndarray for the given vocabulary slice of
+    an external (term, vec) table. Inner join against the (bounded,
+    driver-held) vocabulary then collect — the result is at most
+    vocabulary-sized, the same bound the broadcast layout already
+    lives under. Duplicate/shape handling delegates to
+    normalize_external so both vector layouts resolve identically."""
+    spark = external.sparkSession
+    tdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    rows = (
+        normalize_external(external, dim)
         .join(F.broadcast(tdf), "key")
         .collect()
     )
@@ -258,7 +279,7 @@ class EmbBroadcast:
         keys = sorted({normalize_term(t) for t in terms} - {""})
         mat = np.vstack([np.zeros((1, dim)), embed_terms_np(keys, dim)])
         if external is not None:
-            ext = external_vec_map(external, keys)
+            ext = external_vec_map(external, keys, dim)
             for i, k in enumerate(keys):
                 v = ext.get(k)
                 if v is not None:

@@ -99,23 +99,34 @@ def incremental_update(
         )
     params = cfg.kernel_params()
 
-    # increment identity BEFORE any staging: the source set, derivable
-    # without extraction (src is a conv_id prefix on the transcripts
-    # path). Stage names are namespaced by its fingerprint, so a shared
-    # checkpoint_dir resumes a stage ONLY for the same increment —
-    # a second, different feed (or a chained increment) pointed at the
-    # same dir gets fresh stage dirs instead of silently loading the
-    # previous increment's parquet.
+    # increment identity BEFORE any staging: the source set PLUS a
+    # content signature (row count + order-independent xxhash64 sum
+    # over all input columns). Stage names are namespaced by this
+    # fingerprint, so a shared checkpoint_dir resumes a stage ONLY for
+    # the same increment BATCH — a different feed, a chained increment,
+    # AND (ADVICE r4) a corrected/re-fed batch for the SAME new sources
+    # all get fresh stage dirs instead of silently loading the previous
+    # increment's staged parquet. The signature job scans only the
+    # increment batch (small by design — never the standing corpus).
     if new_triples is not None:
+        sig_df = new_triples
         src_probe = new_triples.select("src")
     elif new_transcripts is not None:
+        sig_df = new_transcripts
         src_probe = new_transcripts.select(
             F.substring_index("conv_id", "_", 1).alias("src")
         )
     else:
         raise ValueError("incremental_update needs new_transcripts or new_triples")
     new_srcs = sorted(r["src"] for r in src_probe.distinct().collect())
-    inc_fp = hashlib.md5(",".join(new_srcs).encode()).hexdigest()[:10]
+    sig = sig_df.select(
+        F.count(F.lit(1)).alias("n"),
+        # decimal sum: order-independent and ANSI-overflow-safe
+        F.sum(F.xxhash64(*sig_df.columns).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    inc_fp = hashlib.md5(
+        f"{','.join(new_srcs)}|{sig['n']}|{sig['h'] or 0}".encode()
+    ).hexdigest()[:10]
     inc = f"inc_{inc_fp}"
 
     std_triples = standing["triples"]
