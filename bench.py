@@ -48,6 +48,14 @@ HEADLINE = [
 # headline triples/sec reflects steady state
 KG_COPIES = int(os.environ.get("SPARK_GRAFT_KG_COPIES", "3000"))
 
+# headline KG throughput = MEDIAN over this many fresh-JVM runs (each
+# JVM pays plan codegen/python-worker spin-up on a tiny untimed warmup
+# corpus first). Median-of-5 is the same noise discipline the scaling
+# contract number graduated to in round 4 — the old best-of-2 single
+# JVM protocol let one slow tenancy epoch move the headline ±25%.
+KG_RUNS = int(os.environ.get("SPARK_GRAFT_KG_RUNS", "5"))
+KG_WARM_COPIES = int(os.environ.get("SPARK_GRAFT_KG_WARM_COPIES", "150"))
+
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
@@ -163,19 +171,11 @@ def main() -> None:
     # pass pays per-plan whole-stage codegen); the PRIMARY metric stays
     # the one-shot pass for cross-round comparability
     queries_warm = run_queries(spark, sf_dir)
-    # steady-state KG throughput: run twice, report the BEST — the
-    # same convention _kg_subprocess already uses for the scaling
-    # points (the first run carries one-time codegen/python-worker
-    # spin-up that a long-lived 100 TB job amortizes away, and this
-    # box is multi-tenant so either run can catch neighbor noise);
-    # both runs stay visible in the JSON
-    kg_a = kg_throughput(spark)
-    kg_b = kg_throughput(spark)
-    kg = kg_a if kg_a["pipeline_sec"] <= kg_b["pipeline_sec"] else kg_b
-    kg["pipeline_sec_runs"] = [kg_a["pipeline_sec"], kg_b["pipeline_sec"]]
-    kg["triples_per_sec_runs"] = [
-        kg_a["triples_per_sec"], kg_b["triples_per_sec"]
-    ]
+    # headline KG throughput: median over KG_RUNS fresh-JVM runs (each
+    # warmed on a tiny untimed corpus so the measured run is steady
+    # state). Median absorbs the multi-tenant box's episodic slow
+    # epochs; min/median/max + every run stay visible in the JSON.
+    kg = kg_median(cpus)
 
     result = {
         "metric": "headline_queries_total",
@@ -219,18 +219,46 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def _kg_subprocess(cores: int, copies: int = KG_COPIES) -> dict:
+def kg_median(cores: int, copies: int = KG_COPIES, runs: int = KG_RUNS) -> dict:
+    """Median-of-N fresh-JVM KG throughput (the headline protocol).
+    Each run is its own JVM (same-JVM restarts carry GC/memory state),
+    warmed with an untimed KG_WARM_COPIES pass that pays whole-stage
+    codegen + python-worker startup — plan compilation cost does not
+    depend on data volume, so the warmup is cheap while the measured
+    run is steady-state. Returns the median run (by pipeline_sec) with
+    min/median/max spread and every run attached."""
+    results = [
+        _kg_subprocess(cores, copies, repeat=1, warm_copies=KG_WARM_COPIES)
+        for _ in range(runs)
+    ]
+    by_sec = sorted(results, key=lambda r: r["pipeline_sec"])
+    kg = dict(by_sec[len(by_sec) // 2])
+    tps = sorted(r["triples_per_sec"] for r in results)
+    kg["protocol"] = f"median-of-{runs}-fresh-jvm"
+    kg["pipeline_sec_runs"] = [r["pipeline_sec"] for r in results]
+    kg["triples_per_sec_runs"] = [r["triples_per_sec"] for r in results]
+    kg["tps_min"] = tps[0]
+    kg["tps_median"] = kg["triples_per_sec"]
+    kg["tps_max"] = tps[-1]
+    return kg
+
+
+def _kg_subprocess(
+    cores: int, copies: int = KG_COPIES, repeat: int = 2, warm_copies: int = 0
+) -> dict:
     """Run the KG throughput job in a fresh process (fresh JVM) —
     same-JVM session restarts carry GC/memory state that contaminates
-    the measurement. Takes the best of 2 runs (steady-state)."""
+    the measurement. `warm_copies` > 0 prepends an untimed small-corpus
+    run (codegen/python-worker warmup); of the `repeat` measured runs
+    the best (steady-state) is returned."""
     import subprocess
 
     code = (
         "import json, bench\n"
         f"spark = bench.fresh_spark({cores})\n"
-        f"r1 = bench.kg_throughput(spark, copies={copies})\n"
-        f"r2 = bench.kg_throughput(spark, copies={copies})\n"
-        "best = r1 if r1['pipeline_sec'] <= r2['pipeline_sec'] else r2\n"
+        + (f"bench.kg_throughput(spark, copies={warm_copies})\n" if warm_copies else "")
+        + f"rs = [bench.kg_throughput(spark, copies={copies}) for _ in range({repeat})]\n"
+        "best = min(rs, key=lambda r: r['pipeline_sec'])\n"
         "print('KGRESULT ' + json.dumps(best))\n"
     )
     out = subprocess.run(
@@ -240,7 +268,7 @@ def _kg_subprocess(cores: int, copies: int = KG_COPIES) -> dict:
     for line in out.stdout.splitlines():
         if line.startswith("KGRESULT "):
             return json.loads(line[len("KGRESULT "):])
-    raise RuntimeError(f"scaling subprocess failed: {out.stderr[-2000:]}")
+    raise RuntimeError(f"kg subprocess failed: {out.stderr[-2000:]}")
 
 
 def _write_baseline_md(result: dict) -> None:

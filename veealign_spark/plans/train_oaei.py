@@ -95,20 +95,18 @@ def prepare_training(
     ]
     emb_bc = scoring.EmbBroadcast.from_terms(spark, terms, cfg.emb_dim)
     emb_idx = scoring.emb_index_df(spark, emb_bc)
-    # the encoded feature tables are kept BOTH as DataFrames (for the
-    # distributed full-pool threshold sweep — tune_threshold) and as
-    # collected rows (for the entity-universe-sized gradient arrays);
-    # the lazy checkpoint makes the collect materialize blocks the
-    # DataFrame reuse then reads instead of recomputing the encode
+    # the encoded feature tables stay DataFrames (the distributed
+    # full-pool threshold sweep — tune_threshold — and the distributed
+    # gradient path read them in place); the lazy checkpoint makes the
+    # bounded pool-key collects below materialize blocks the DataFrame
+    # reuse then reads instead of recomputing the encode
     enc_df = scoring.encode_features(
         features, emb_idx, max_types, cfg.max_paths, cfg.max_pathlen,
         label_map=label_map,
     ).localCheckpoint(eager=False)
-    enc = enc_df.collect()
     encp_df = scoring.encode_prop_contexts(
         prop_ctx, emb_idx, label_map=label_map
     ).localCheckpoint(eager=False)
-    encp = encp_df.collect()
 
     # labeled concept pairs (J1+J3): the FULL pool stays a DataFrame —
     # density-true threshold tuning over it is the distributed
@@ -131,11 +129,22 @@ def prepare_training(
     lab_p = sampling.limit_negatives(lab_p_full, max_false, label_col="y", seed=seed + 1)
     p_rows = [(r["ent1"], r["ent2"], bool(r["y"])) for r in lab_p.collect()]
 
+    # pool-bounded feature collects: only encodings for entities that
+    # appear in the T2-capped pools reach the driver (<= 2x capped rows
+    # per table — NEVER the entity universe; a 100x corpus grows the
+    # universe, not these). Broadcast-semijoin against the pool keys.
+    def _pool_keys_df(rows):
+        keys = sorted({k for r in rows for k in (r[0], r[1])})
+        return spark.createDataFrame([(k,) for k in keys] or [("",)], "key string")
+
+    ckeys_df = _pool_keys_df(c_rows)
+    pkeys_df = _pool_keys_df(p_rows)
+    enc = enc_df.join(F.broadcast(ckeys_df), "key", "semi").collect()
+    encp = encp_df.join(F.broadcast(pkeys_df), "key", "semi").collect()
     node_map = {
         r["key"]: int(r["node_idx"])
         for r in scoring.encode_node_idx(
-            cn.select("key").unionByName(pn.select("key")).distinct(),
-            emb_idx, label_map,
+            ckeys_df.unionByName(pkeys_df).distinct(), emb_idx, label_map
         ).collect()
     }
 
@@ -202,7 +211,46 @@ def prepare_training(
         "lab_c_full": lab_c_full, "lab_p_full": lab_p_full,
         "enc_df": enc_df, "encp_df": encp_df,
         "emb_bc": emb_bc, "label_map": label_map,
+        "max_false": max_false, "seed": seed,
     }
+
+
+def distributed_pools(prep: dict) -> tuple[DataFrame, DataFrame]:
+    """(concept_pool, prop_pool) DataFrames for the SCALE-branch trainer
+    (operators.training_dist): the same T2-capped labeled pools the
+    numpy path collects (identical seeds -> identical rows), kept
+    distributed and joined with the encoded feature tables — concept
+    rows (n1, f1, n2, f2, y), property rows reduced to the three
+    constant cosines (c0, c1, c2, y). Pairs with an un-encodable side
+    drop via the inner joins, the numpy path's enc_map membership rule
+    (those pairs ride the A6 direct route and carry no trainable
+    parameters)."""
+    from veealign_spark.operators import training_dist
+
+    lab_c = sampling.limit_negatives(
+        prep["lab_c_full"], prep["max_false"], label_col="y", seed=prep["seed"]
+    )
+    lab_p = sampling.limit_negatives(
+        prep["lab_p_full"], prep["max_false"], label_col="y",
+        seed=prep["seed"] + 1,
+    )
+    enc_df = prep["enc_df"]
+
+    def side(tag):
+        return enc_df.select(
+            F.col("key").alias(f"ent{tag}"),
+            F.col("node_idx").alias(f"n{tag}"),
+            F.col("fidx").alias(f"f{tag}"),
+        )
+
+    cpool = (
+        lab_c.join(side(1), "ent1").join(side(2), "ent2")
+        .select("n1", "f1", "n2", "f2", F.col("y").cast("double").alias("y"))
+    )
+    ppool = training_dist.prop_cosine_pool(
+        lab_p, prep["encp_df"], prep["emb_bc"]
+    )
+    return cpool, ppool
 
 
 def full_pool_scores(prep: dict, params: KernelParams) -> tuple[DataFrame, DataFrame]:
