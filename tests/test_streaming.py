@@ -117,3 +117,68 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         for r in spark.read.parquet(src).dropDuplicates(["conv_id", "turn_idx", "text"]).collect()
     }
     assert got == batch and len(got) == 40
+
+
+def test_stream_incremental_ingest_equals_batch(
+    spark, fixture_pair, transcripts_sdf, tmp_path
+):
+    """Streaming -> incremental-plan bridge (r5): micro-batched new
+    sources driven through foreachBatch + incremental_update produce a
+    KG bit-identical to the one-shot batch run over the whole corpus.
+    Fixture: standing = src1+src2 (run_pipeline over the fixture
+    transcripts); the stream lands src3 (clone of src2) and src4
+    (clone of src1) as one parquet file per source -> with
+    maxFilesPerTrigger=1 each micro-batch is exactly one complete new
+    source, the incremental plan's source-grain contract."""
+    from veealign_spark import datagen
+    from veealign_spark.plans.pipeline import run_pipeline
+
+    tri = fixture_pair["triples"]
+    in_dir = str(tmp_path / "landing")
+    clone_sdfs = []
+    for new_src, base_src, seed in (("src3", "src2", 5), ("src4", "src1", 6)):
+        t = tri[tri["src"] == base_src].copy()
+        t["src"] = new_src
+        rows, _ = datagen.make_transcripts(t, seed=seed)
+        sdf = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        clone_sdfs.append(sdf)
+        # exactly one file per source: the micro-batch grain
+        sdf.coalesce(1).write.mode("append").parquet(in_dir)
+
+    standing = run_pipeline(spark, transcripts_sdf)
+    state = sm.stream_incremental_ingest(
+        spark, in_dir, standing, checkpoint=str(tmp_path / "ckpt")
+    )
+    assert state["batches"] == 2
+
+    # baseline: one batch run over the SAME transcript corpus (standing
+    # + both landed sources), so both sides share the extraction path
+    full_ts = transcripts_sdf.select(*clone_sdfs[0].columns)
+    for c in clone_sdfs:
+        full_ts = full_ts.unionByName(c)
+    full = run_pipeline(spark, full_ts)
+
+    def acc(res):
+        return {
+            (r["ent1"], r["ent2"])
+            for r in res["accepted"].select("ent1", "ent2").collect()
+        }
+
+    def clu(res):
+        return {r["entity"]: r["canon_id"] for r in res["clusters"].collect()}
+
+    def kg(res):
+        return {
+            (r["subj"], r["pred"], r["obj"], r["kind"])
+            for r in res["kg_triples"].collect()
+        }
+
+    final = state["standing"]
+    assert final["new_sources"] == ["src4"] or final.get("new_sources")
+    assert acc(final) == acc(full)
+    assert clu(final) == clu(full)
+    assert kg(final) == kg(full)

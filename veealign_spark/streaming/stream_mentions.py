@@ -85,6 +85,55 @@ def stream_triples_upsert(spark, in_path: str, out_path: str, checkpoint: str):
     return spark.read.parquet(out_path)
 
 
+def stream_incremental_ingest(
+    spark,
+    in_path: str,
+    standing: dict,
+    checkpoint: str,
+    config=None,
+    max_files_per_trigger: int = 1,
+) -> dict:
+    """Streaming bridge into the source-grain incremental plan: each
+    micro-batch of landed transcript files is aligned against the
+    evolving standing KG via plans.incremental.incremental_update, and
+    the result dict becomes the standing state for the next batch.
+
+    Contract (the incremental plan's source-grain rule carried to the
+    stream): each micro-batch must contain COMPLETE new sources — stage
+    one file per source and keep max_files_per_trigger at 1 (a source
+    split across micro-batches would be in-place source growth, which
+    incremental_update rejects). Because chained increments compose
+    (CC(CC(A) u B) == CC(A u B), per-source contexts), the streamed
+    end state is bit-identical to one batch run over standing u all
+    increments — pinned by tests/test_streaming.py.
+
+    Returns {"standing": <final result dict>, "batches": n}."""
+    from veealign_spark import schemas
+    from veealign_spark.plans.incremental import incremental_update
+
+    state = {"standing": standing, "batches": 0}
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state["standing"] = incremental_update(
+            spark, state["standing"], new_transcripts=batch_df, config=config
+        )
+        state["batches"] += 1
+
+    q = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(in_path)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
+
+
 def stream_conversation_sessions(spark, path: str, gap_minutes: int = 30):
     """Stateful per-conversation sessionization via
     applyInPandasWithState: emits (conv_id, n_turns, first_ts, last_ts)
