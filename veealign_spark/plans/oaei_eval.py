@@ -353,3 +353,22 @@ def track_pairs(dataset_dir: str) -> list[tuple[str, str, str]]:
         if len(ontos) == 2 and all(ontos):
             out.append((ontos[0], ontos[1], os.path.join(adir, f)))
     return out
+
+
+def german_label_fold(labels: DataFrame) -> DataFrame:
+    """Per-track German normalization profile (the config-column shape
+    the reference varies per dataset — README.md:63-78 runs the German
+    tracks with language=de, has_spellcheck=False): fold the P2 label
+    map before it reaches the embed boundary by (a) dropping the German
+    conjunction 'und' (the track's category labels write the same
+    concept both ways: 'Fleisch-und-Wurst' vs 'Fleisch-Wurst') and
+    (b) sorting the token bag ('Kaffee-und-Tee' vs 'Tee-Kaffee' name
+    the same category in either order — German directory labels are
+    compound bags, not phrases). Pure Column expressions; applied to
+    the label map only, so non-German tracks are untouched."""
+    toks = F.split(F.lower(F.regexp_replace("label", "[-_]+", " ")), " +")
+    folded = F.array_join(
+        F.array_sort(F.filter(toks, lambda w: (w != "und") & (w != ""))),
+        " ",
+    )
+    return labels.withColumn("label", folded)

@@ -52,8 +52,15 @@ class PipelineConfig:
     # "prejoined": vectors JOIN onto features/candidates from the
     # distributed dim table — no driver collect, unbounded vocabulary.
     # "auto": broadcast below vocab_broadcast_threshold distinct terms.
+    # Default MEASURED, not argued (scripts/bench_vector_modes.py,
+    # BENCH/PLANS.md r5: vocabulary inflated via pad labels so scoring
+    # work is constant): broadcast/prejoined wall ratio 0.90 at 250k
+    # terms, 1.97 at 500k, 1.90 at 1M, 3.99 at 3M — the broadcast
+    # layout's driver-side normalize+embed+pickle grows linearly while
+    # the prejoined dim-table build is flat. Crossover ~300k on this
+    # box (32 cores, 16g driver).
     vector_mode: str = "auto"  # "auto" | "broadcast" | "prejoined"
-    vocab_broadcast_threshold: int = 2_000_000
+    vocab_broadcast_threshold: int = 300_000
     # "seeded" (fixture-pinned gaussian projection) | "identity"
     # (residual rep = node + ctx_gain*context — the untrained default
     # for real inputs; see kernel_np.default_params)
