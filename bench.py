@@ -90,8 +90,12 @@ def stage_kg_input(spark, copies: int = KG_COPIES, path: str | None = None) -> s
     if not os.path.exists(marker):
         pair = datagen.make_ontology_pair(**BENCH_ONTOLOGY)
         tdf = datagen.make_transcripts_df(spark, pair["triples"], copies=copies)
-        # spread across files so scan parallelism isn't row-group-bound
-        tdf.repartition(256).write.mode("overwrite").parquet(path)
+        # make_transcripts_df already spreads the output across <=256
+        # range partitions (scan parallelism isn't row-group-bound) —
+        # write directly, shuffle-free: a repartition here is a full
+        # shuffle of the generated corpus and overflows local disk at
+        # the 683M-turn trajectory point
+        tdf.write.mode("overwrite").parquet(path)
         open(marker, "w").close()
     return path
 

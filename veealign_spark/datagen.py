@@ -264,7 +264,16 @@ def make_transcripts_df(spark, triples_pdf: pd.DataFrame, copies: int, seed: int
     base_sdf = spark.createDataFrame(base, schema=schemas.TRANSCRIPTS)
     if copies <= 1:
         return base_sdf
-    reps = spark.range(copies).select(F.col("id").alias("copy"))
+    # partition the COPY RANGE explicitly (the small base side gets
+    # broadcast in the cross join, so output partitioning follows the
+    # range): the result is already spread across <=256 partitions and
+    # needs NO downstream repartition — a full shuffle of the generated
+    # corpus is exactly what a 10^12-turn staging job cannot afford
+    # (at 683M turns the uncompressed shuffle temp exceeded this box's
+    # disk; generation must be shuffle-free)
+    reps = spark.range(0, copies, 1, min(256, copies)).select(
+        F.col("id").alias("copy")
+    )
     return (
         base_sdf.crossJoin(reps)
         .withColumn("conv_id", F.concat_ws("_", F.col("conv_id"), F.col("copy")))
