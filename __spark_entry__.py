@@ -638,6 +638,42 @@ def q_kg_alignments_external_vectors(spark, sf_dir):
     return res["accepted"].select("ent1", "ent2")
 
 
+def q_kg_incremental_equals_batch(spark, sf_dir):
+    """Source-grain incremental ingest under the driver gate: a third
+    source (a renamed clone of src2's transcripts) is linked against
+    the standing src1+src2 KG via plans.incremental.incremental_update,
+    and the result is compared with one batch run over all three
+    sources. Returns the SYMMETRIC DIFFERENCE of the two accepted-pair
+    sets tagged by side — the oracle is the empty set, so any
+    divergence between the incremental plan and the batch plan fails
+    rows+schema+hash. (Reference semantics: the batch pipeline is the
+    ground truth; incremental-equals-batch is the engine's own
+    CC(CC(A) u B) == CC(A u B) + per-source-contexts guarantee, pinned
+    at fixture scale in tests/test_incremental.py and here surfaced to
+    the correctness gate.)"""
+    _ensure_shipped(spark)
+    from veealign_spark.plans.incremental import incremental_update
+
+    tdf = _testdata_transcripts(spark, sf_dir)
+    base = tdf.filter(~F.col("conv_id").startswith("src3_"))
+    clone3 = tdf.filter(F.col("conv_id").startswith("src2_")).withColumn(
+        "conv_id", F.regexp_replace("conv_id", "^src2_", "src3_")
+    )
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, base, cfg)
+    inc = incremental_update(spark, standing, new_transcripts=clone3, config=cfg)
+    full = run_pipeline(spark, base.unionByName(clone3), cfg)
+    inc_acc = inc["accepted"].select("ent1", "ent2")
+    full_acc = full["accepted"].select("ent1", "ent2")
+    return (
+        inc_acc.subtract(full_acc).withColumn("side", F.lit("inc_only"))
+        .unionByName(
+            full_acc.subtract(inc_acc).withColumn("side", F.lit("batch_only"))
+        )
+        .select("side", "ent1", "ent2")
+    )
+
+
 def q_p1_iri_normalize(spark, sf_dir):
     """P1/P2: IRI normalization — coalesce alt id forms, take the
     fragment after '#', strip prefixes (ontology.py:219-228 semantics
@@ -843,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_triples": q_kg_extract_triples,
         "kg_alignments": q_kg_alignments,
         "kg_alignments_external_vectors": q_kg_alignments_external_vectors,
+        "kg_incremental_equals_batch": q_kg_incremental_equals_batch,
     }
 
 
@@ -1019,6 +1056,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT ent1, ent2 FROM ({_GT_CONCEPTS}
             UNION ALL
             SELECT 'src1#rel_locatedIn', 'src2#rel_located_in') gt
+        """,
+        # the incremental plan must equal the batch plan EXACTLY: the
+        # query returns the symmetric difference of their accepted
+        # sets, so the oracle is the empty relation (schema-checked)
+        "kg_incremental_equals_batch": """
+            SELECT CAST(NULL AS VARCHAR) AS side,
+                   CAST(NULL AS VARCHAR) AS ent1,
+                   CAST(NULL AS VARCHAR) AS ent2
+            WHERE 1 = 0
         """,
         # blocked candidate generation must retain every ground-truth
         # concept pair (blocking recall as a contract-level check)

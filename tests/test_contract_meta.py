@@ -15,7 +15,8 @@ SCALAR_AGG_QUERIES = {"t3_oversample"}
 
 # full-pipeline / iterative queries excluded from the per-test plan
 # sweep for runtime (covered by their own tests + the correctness gate)
-HEAVY = {"kg_alignments", "kg_blocked_candidates", "kg_blocking_recall"}
+HEAVY = {"kg_alignments", "kg_blocked_candidates", "kg_blocking_recall",
+         "kg_incremental_equals_batch"}
 
 
 def test_every_oracle_has_a_query():
