@@ -209,3 +209,30 @@ def test_prepare_training_collects_bounded_by_cap_not_universe(
     vocab_like = [s for s in sizes if s > bound]
     # the ONLY over-bound collect is the broadcast vocabulary
     assert vocab_like == [n_vocab], (vocab_like, n_vocab, bound)
+
+
+def test_train_kernel_auto_dispatch(spark, monkeypatch):
+    """The dispatcher routes small pools to the numpy loop (identical
+    result to train_kernel) and large-threshold-0 pools to the
+    distributed loop (runs, returns trained params + report)."""
+    from veealign_spark.plans import oaei_eval, train_oaei
+
+    tables, gold_all, pair_df = _track(spark, n_pairs=1)
+    cfg = oaei_eval.reference_config()
+    prep = train_oaei.prepare_training(
+        spark, tables, cfg, gold_all, pair_df, max_false=150
+    )
+    kw = dict(num_epochs=3, validation_interval=1)
+    # small branch == train_kernel verbatim
+    p_auto, rep_auto = train_oaei.train_kernel_auto(
+        prep, small_rows=10 ** 9, **kw
+    )
+    tr, va = train_oaei.element_split(prep)
+    p_np, rep_np = training.train_kernel(tr, va, prep["base_params"], **kw)
+    np.testing.assert_array_equal(p_auto.out_w, p_np.out_w)
+    assert p_auto.threshold == p_np.threshold
+    assert rep_auto["steps"] == rep_np["steps"]
+    # scale branch engages below the pool size and completes
+    p_d, rep_d = train_oaei.train_kernel_auto(prep, small_rows=0, **kw)
+    assert rep_d["steps"] == 3  # one full-pool step per epoch
+    assert np.isfinite(p_d.threshold)

@@ -253,6 +253,48 @@ def distributed_pools(prep: dict) -> tuple[DataFrame, DataFrame]:
     return cpool, ppool
 
 
+def train_kernel_auto(
+    prep: dict,
+    k: int = 5,
+    fold: int = 0,
+    seed: int = 7,
+    small_rows: int | None = None,
+    **train_kw,
+) -> tuple[KernelParams, dict]:
+    """Size-adaptive trainer dispatch (the adaptive.py pattern): at or
+    below `small_rows` capped-pool rows the driver-numpy minibatch loop
+    runs (reference batch semantics, bit-for-bit stable — the branch
+    every fixture-scale caller takes); above it the pools stay
+    DataFrames and operators.training_dist runs the large-batch
+    protocol (one distributed full-pool gradient per Adam step —
+    equivalent to batch_size >= pool size, pinned equal by pytest).
+    The validation slice is driver-side in both branches (bounded by
+    the element split's T4 down-sampling).
+
+    Protocol note, stated rather than hidden: the scale branch trains
+    on the FULL capped pools (no element-level train slice, no T3
+    oversampling — large-batch gradients average the true label
+    density) and uses the balanced validation slice only for
+    early-stop + threshold. At fixture scale the two branches are
+    therefore different protocols; the equivalence pytest pins the
+    MECHANISM (distributed gradient == numpy gradient at equal
+    settings), not this dispatcher's branch equality."""
+    from veealign_spark.operators import adaptive, training_dist
+
+    if small_rows is None:
+        small_rows = adaptive.small_input_rows()
+    n_pool = len(prep["y"]) + len(prep["prop_y"])
+    tr, va = element_split(prep, k=k, fold=fold, seed=seed)
+    if n_pool <= small_rows:
+        return training.train_kernel(tr, va, prep["base_params"], seed=seed, **train_kw)
+    cpool, ppool = distributed_pools(prep)
+    train_kw.pop("batch_size", None)  # full-pool steps at scale
+    return training_dist.train_kernel_distributed(
+        cpool, ppool, va, prep["base_params"], prep["emb_bc"],
+        prep["max_types"], **train_kw,
+    )
+
+
 def full_pool_scores(prep: dict, params: KernelParams) -> tuple[DataFrame, DataFrame]:
     """Distributed forward-only scores of the FULL labeled candidate
     pool: (scores, pool_gold) DataFrames. Rides the pipeline's exact
