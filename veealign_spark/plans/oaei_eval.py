@@ -152,6 +152,7 @@ def evaluate_track(
     one2one: bool = True,
     triplets: list[tuple[str, str, str]] | None = None,
     label_map: DataFrame | None = None,
+    per_pair_threshold: bool = False,
 ) -> dict:
     """Whole-track evaluation in ONE pipeline run: every ontology with
     a gold file is loaded as a source, candidates span all source pairs
@@ -200,10 +201,86 @@ def evaluate_track(
         .select("ent1", "ent2", "score")
         .localCheckpoint(eager=True)
     )
+    # per-pair tuned ceiling (no 1:1): the best F1 each pair could
+    # reach with its own threshold — the engine's headroom over the
+    # single global threshold, reported alongside (OAEI "local
+    # optimum" convention)
+    from pyspark.sql import Window
+
+    lab = (
+        scores.join(
+            gold_all.select("ent1", "ent2").withColumn("y", F.lit(1)),
+            ["ent1", "ent2"],
+            "left",
+        )
+        .fillna(0, ["y"])
+        .withColumn("src1", F.substring_index("ent1", "#", 1))
+        .withColumn("src2", F.substring_index("ent2", "#", 1))
+    )
+    wc = (
+        Window.partitionBy("src1", "src2")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gold_sizes = (
+        gold_all.withColumn("src1", F.substring_index("ent1", "#", 1))
+        .withColumn("src2", F.substring_index("ent2", "#", 1))
+        .groupBy("src1", "src2")
+        .agg(F.countDistinct("ent1", "ent2").alias("n_gold"))
+    )
+    # only LEVEL-LAST rows are attainable >= thresholds: a cumulative
+    # row in the middle of a tied score level includes part of the
+    # level, which no real threshold can (r5 fix — the old per-row max
+    # could overstate the ceiling on tie-heavy tracks)
+    w_next = Window.partitionBy("src1", "src2").orderBy(F.col("score").desc())
+    cum = (
+        lab.withColumn("tp_c", F.sum("y").over(wc))
+        .withColumn("n_c", F.count(F.lit(1)).over(wc))
+        .withColumn("__nxt", F.lead("score").over(w_next))
+        .filter(F.col("__nxt").isNull() | (F.col("__nxt") != F.col("score")))
+        .join(gold_sizes, ["src1", "src2"])
+        .withColumn("p_c", F.col("tp_c") / F.col("n_c"))
+        .withColumn("r_c", F.col("tp_c") / F.col("n_gold"))
+        .withColumn(
+            "f1_c",
+            F.when(
+                F.col("p_c") + F.col("r_c") > 0,
+                2 * F.col("p_c") * F.col("r_c") / (F.col("p_c") + F.col("r_c")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ceiling = cum.groupBy("src1", "src2").agg(
+        F.round(F.max("f1_c"), 3).alias("f1_ceiling")
+    )
+
     threshold = cfg.threshold
-    if tune_on_gold:
+    if tune_on_gold and not per_pair_threshold:
         threshold, _f1 = metrics_ops.best_threshold(scores, gold_all)
-    emitted = scores.filter(F.col("score") >= threshold)
+    if per_pair_threshold:
+        # per-pair argmax-F1 threshold over the pair's OWN gold (the
+        # OAEI local-optimum convention; same tune-on-gold caveats as
+        # the global sweep, applied per evaluated pair). Among equal-F1
+        # levels the HIGHEST score wins (fewest emissions).
+        w_best = Window.partitionBy("src1", "src2").orderBy(
+            F.col("f1_c").desc(), F.col("score").desc()
+        )
+        thr_pair = (
+            cum.withColumn("__rn", F.row_number().over(w_best))
+            .filter(F.col("__rn") == 1)
+            .select("src1", "src2", F.col("score").alias("__thr"),
+                    F.round("f1_c", 3).alias("__thr_f1"))
+        )
+        emitted = (
+            scores.withColumn("src1", F.substring_index("ent1", "#", 1))
+            .withColumn("src2", F.substring_index("ent2", "#", 1))
+            .join(F.broadcast(thr_pair), ["src1", "src2"])
+            .filter(F.col("score") >= F.col("__thr"))
+            .select("ent1", "ent2", "score")
+        )
+        threshold = None
+    else:
+        emitted = scores.filter(F.col("score") >= threshold)
     if one2one:
         # per-source-pair symmetric-best: one partner per OTHER source
         emitted = canonicalize.one_to_one_filter(emitted, per_source_pair=True)
@@ -235,49 +312,6 @@ def evaluate_track(
         )
         .orderBy("src1", "src2")
     )
-    # per-pair tuned ceiling (no 1:1): the best F1 each pair could
-    # reach with its own threshold — the engine's headroom over the
-    # single global threshold, reported alongside (OAEI "local
-    # optimum" convention)
-    from pyspark.sql import Window
-
-    lab = (
-        scores.join(
-            gold_all.select("ent1", "ent2").withColumn("y", F.lit(1)),
-            ["ent1", "ent2"],
-            "left",
-        )
-        .fillna(0, ["y"])
-        .withColumn("src1", F.substring_index("ent1", "#", 1))
-        .withColumn("src2", F.substring_index("ent2", "#", 1))
-    )
-    wc = (
-        Window.partitionBy("src1", "src2")
-        .orderBy(F.col("score").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    gold_sizes = (
-        gold_all.withColumn("src1", F.substring_index("ent1", "#", 1))
-        .withColumn("src2", F.substring_index("ent2", "#", 1))
-        .groupBy("src1", "src2")
-        .agg(F.countDistinct("ent1", "ent2").alias("n_gold"))
-    )
-    ceiling = (
-        lab.withColumn("tp_c", F.sum("y").over(wc))
-        .withColumn("n_c", F.count(F.lit(1)).over(wc))
-        .join(gold_sizes, ["src1", "src2"])
-        .withColumn("p_c", F.col("tp_c") / F.col("n_c"))
-        .withColumn("r_c", F.col("tp_c") / F.col("n_gold"))
-        .withColumn(
-            "f1_c",
-            F.when(
-                F.col("p_c") + F.col("r_c") > 0,
-                2 * F.col("p_c") * F.col("r_c") / (F.col("p_c") + F.col("r_c")),
-            ).otherwise(F.lit(0.0)),
-        )
-        .groupBy("src1", "src2")
-        .agg(F.round(F.max("f1_c"), 3).alias("f1_ceiling"))
-    )
     per_pair = per_pair.join(ceiling, ["src1", "src2"], "left").orderBy(
         "src1", "src2"
     )
@@ -288,8 +322,16 @@ def evaluate_track(
     prec = tp / (tp + fp) if tp + fp else 0.0
     rec = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    out_thr = threshold
+    per_pair_thr = None
+    if per_pair_threshold:
+        per_pair_thr = {
+            (r["src1"], r["src2"]): (r["__thr"], r["__thr_f1"])
+            for r in thr_pair.collect()
+        }
     return {
-        "threshold": threshold,
+        "threshold": out_thr,
+        "per_pair_thresholds": per_pair_thr,
         "per_pair": rows,
         "micro": {
             "tp": tp, "fp": fp, "fn": fn,
