@@ -203,6 +203,26 @@ def q_a9_pr_curve(spark, sf_dir):
     )
 
 
+def q_a9_per_group_threshold(spark, sf_dir):
+    """A9 (per-group form): per-group argmax-F1 threshold — the r5
+    per-pair threshold mode as a library operator
+    (metrics.best_threshold_by_group). Groups = user_id mod 8,
+    positives = event_id divisible by 3, score = value."""
+    events = _t(spark, sf_dir, "events")
+    labeled = events.select(
+        (F.col("user_id") % 8).alias("grp"),
+        F.col("value").alias("score"),
+        F.when(F.col("event_id") % 3 == 0, 1).otherwise(0).alias("y"),
+    )
+    return metrics.best_threshold_by_group(labeled, "grp").select(
+        "grp",
+        F.round("thr", 6).alias("thr"),
+        "tp",
+        "n",
+        F.round("f1", 9).alias("f1"),
+    )
+
+
 def q_t1_top1_per_group(spark, sf_dir):
     """T1: top-1 per group via window (max-order per customer)."""
     orders = _t(spark, sf_dir, "orders")
@@ -837,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_dedup": q_a7_dedup,
         "a8_pr_metrics": q_a8_pr_metrics,
         "a9_pr_curve": q_a9_pr_curve,
+        "a9_per_group_threshold": q_a9_per_group_threshold,
         "t1_top1_per_group": q_t1_top1_per_group,
         "j3_label_join": q_j3_label_join,
         "p6_threshold": q_p6_threshold,
@@ -1184,6 +1205,40 @@ def oracle_sql() -> dict[str, str]:
                              / ((tp/n::DOUBLE) + (tp/(SELECT n_gold FROM tot)::DOUBLE))
                         ELSE 0.0 END, 9) AS f1
             FROM cum
+        """,
+        "a9_per_group_threshold": """
+            WITH labeled AS (
+                SELECT user_id % 8 AS grp, value AS score,
+                       CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+                FROM events),
+            levels AS (
+                SELECT grp, score, sum(y) AS tp_s, count(*) AS n_s
+                FROM labeled GROUP BY grp, score),
+            gold AS (SELECT grp, sum(y) AS n_gold FROM labeled GROUP BY grp),
+            cum AS (
+                SELECT grp, score,
+                       CAST(sum(tp_s) OVER (PARTITION BY grp ORDER BY score DESC)
+                            AS BIGINT) AS tp,
+                       CAST(sum(n_s) OVER (PARTITION BY grp ORDER BY score DESC)
+                            AS BIGINT) AS n
+                FROM levels),
+            f AS (
+                SELECT c.grp, score, tp, n,
+                       CASE WHEN (tp / n::DOUBLE)
+                                 + (tp / greatest(g.n_gold, 1)::DOUBLE) > 0
+                            THEN 2 * (tp / n::DOUBLE)
+                                 * (tp / greatest(g.n_gold, 1)::DOUBLE)
+                                 / ((tp / n::DOUBLE)
+                                    + (tp / greatest(g.n_gold, 1)::DOUBLE))
+                            ELSE 0.0 END AS f1
+                FROM cum c JOIN gold g ON c.grp = g.grp),
+            best AS (
+                SELECT grp, score, tp, n, f1,
+                       row_number() OVER (PARTITION BY grp
+                           ORDER BY f1 DESC, score DESC) AS rn
+                FROM f)
+            SELECT grp, round(score, 6) AS thr, tp, n, round(f1, 9) AS f1
+            FROM best WHERE rn = 1
         """,
         "t1_top1_per_group": """
             SELECT o_custkey AS custkey, o_orderkey AS best_order,

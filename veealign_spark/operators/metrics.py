@@ -165,3 +165,59 @@ def best_threshold(scores: DataFrame, gold: DataFrame) -> tuple[float, float]:
         .first()
     )
     return (float(row["score"]), float(row["f1"])) if row else (1.0, 0.0)
+
+
+def best_threshold_by_group(
+    labeled: DataFrame, group_col: str = "grp"
+) -> DataFrame:
+    """Per-group argmax-F1 threshold — the library form of the
+    per-pair threshold mode (plans/oaei_eval.py evaluate_track
+    per_pair_threshold=True; OAEI local-optimum convention).
+
+    labeled(group_col, score, y) -> one row per group:
+    (group_col, thr, tp, n, f1) where thr is the attainable score
+    level maximizing F1 within the group (ties: highest score, i.e.
+    fewest emissions), tp/n the cumulative counts at that level and f1
+    the attained value.
+
+    Scale shape: levels aggregate per (group, score) with map-side
+    combine; both the cumulative sweep and the argmax pick are windows
+    PARTITIONED BY the group — work parallelizes across groups and no
+    single-partition exchange appears for any number of groups. Within
+    one group the state is level-count-sized, the same bound as one
+    pr_curve. Aggregating to distinct levels first also makes every
+    cumulative row attainable (a mid-level row is not a real >=
+    threshold — the r5 level-last fix)."""
+    g = F.col(group_col)
+    levels = labeled.groupBy(group_col, "score").agg(
+        F.sum("y").alias("tp_s"), F.count(F.lit(1)).alias("n_s")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gold = labeled.groupBy(group_col).agg(F.sum("y").alias("n_gold"))
+    cum = (
+        levels.withColumn("tp", F.sum("tp_s").over(w_cum))
+        .withColumn("n", F.sum("n_s").over(w_cum))
+        .join(gold, [group_col])
+        .withColumn("p_c", F.col("tp") / F.col("n"))
+        .withColumn("r_c", F.col("tp") / F.greatest("n_gold", F.lit(1)))
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("p_c") + F.col("r_c") > 0,
+                2 * F.col("p_c") * F.col("r_c")
+                / (F.col("p_c") + F.col("r_c")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w_best = Window.partitionBy(group_col).orderBy(
+        F.col("f1").desc(), F.col("score").desc()
+    )
+    return (
+        cum.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select(g, F.col("score").alias("thr"), "tp", "n", "f1")
+    )
