@@ -91,6 +91,22 @@ def hyperplanes(dim: int, n_planes: int = 12, seed: int = 11) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _bucket_expr(v, dim: int, n_planes: int, seed: int):
+    """Sign-bit signature Column under seeded random hyperplanes,
+    a literal-array dot product (JVM-side)."""
+    H = hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in H[j]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
 def lsh_hyperplane_buckets(
     embeddings: DataFrame,
     dim: int,
@@ -101,18 +117,10 @@ def lsh_hyperplane_buckets(
 ) -> DataFrame:
     """(id, bucket) — bucket = sign-bit signature under seeded random
     hyperplanes, computed as a literal-array dot product (JVM-side)."""
-    H = hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    v = F.col(vec_col)
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in H[j]])
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return embeddings.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        _bucket_expr(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
 
 
 def _cap_bucket_members(nbr: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
@@ -166,12 +174,27 @@ def lsh_candidates_multiprobe(
     tests/test_operators.py::test_lsh_multiprobe_recall_vs_cost."""
     pb = n_planes if probe_bits is None else probe_bits
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    home = None
-    for t in range(n_tables):
-        b = lsh_hyperplane_buckets(e, dim, n_planes, seed + t, "id", "v").select(
-            "id", F.lit(t).alias("tbl"), "bucket"
-        )
-        home = b if home is None else home.unionByName(b)
+    # all n_tables signatures in ONE projection + explode: the t-table
+    # union form rescanned the source once per table (and the q/c
+    # sides below each re-derive `home`, doubling that again — 2*t
+    # scans); here each side is a single scan whatever n_tables is,
+    # with identical (id, tbl, bucket) rows out
+    home = e.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket_expr(F.col("v"), dim, n_planes, seed + t).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select("id", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"))
     probes = F.explode(
         F.array(
             F.col("bucket"),
@@ -182,10 +205,17 @@ def lsh_candidates_multiprobe(
     c = home.select(F.col("id").alias("neighbor_id"), "tbl", "bucket")
     if max_bucket_size:
         c = _cap_bucket_members(c, ["tbl", "bucket"], max_bucket_size)
+    # one repartition by query_id up front: HashPartitioning(query_id)
+    # satisfies the clustering the pair-dedup aggregate needs (subset
+    # of its keys) AND the downstream top-k window's — so dedup and
+    # the per-query ranking both run shuffle-free on this partitioning
+    # instead of exchanging once for (query_id, neighbor_id) and again
+    # for query_id
     pairs = (
         q.join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+        .repartition("query_id")
         .dropDuplicates()
     )
     return (
