@@ -102,3 +102,28 @@ def test_extraction_executed_plan_prunes_columns(spark, staged):
     assert schemas, plan
     cols = {c.split(":")[0] for s in schemas for c in s.split(",")}
     assert cols == {"conv_id", "text"}, cols
+
+
+def test_multiprobe_executed_plan_single_scan_per_side(spark):
+    """The r5 flattened multiprobe plan: every table's signature comes
+    from ONE projection+explode, so the embeddings parquet is scanned
+    at most once per derivation of the home table (4 total: q side,
+    c side, and the two vector-fetch joins) instead of once per LSH
+    table per side; and the pair stream's query_id repartition is the
+    partitioning the dedup aggregate and top-k window both reuse — no
+    exchange hashes (query_id, neighbor_id)."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["ann_lsh_topk_multiprobe"](spark, SF_DIR)
+    plan = _executed_plan(q)
+    # the AQE plan string prints initial+final subtrees — count scans
+    # by DISTINCT first-column expression id, not by line
+    scan_ids = {
+        re.search(r"FileScan parquet \[(\w+#\d+)", ln).group(1)
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "embedding" in ln
+    }
+    assert 0 < len(scan_ids) <= 4, (scan_ids, plan)
+    hps = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert any("query_id" in ln for ln in hps), plan
+    assert not any("neighbor_id" in ln for ln in hps), hps

@@ -181,9 +181,12 @@ def evaluate_multifarm(
     config=None,
     langs: list[str] | None = None,
     ontos: list[str] | None = None,
+    **track_kwargs,
 ) -> dict:
     """Whole cross-ontology multifarm evaluation in one pipeline run
-    (evaluate_track methodology; label_map = the learned translation)."""
+    (evaluate_track methodology; label_map = the learned translation).
+    Extra keyword arguments (e.g. per_pair_threshold=True) pass
+    through to evaluate_track."""
     triplets = multifarm_triplets(
         dataset_dir, cross_onto=True, langs=langs, ontos=ontos
     )
@@ -192,5 +195,6 @@ def evaluate_multifarm(
     lm = translation_label_map(spark, dataset_dir, langs=langs, ontos=ontos)
     cfg = config or reference_config()
     return evaluate_track(
-        spark, dataset_dir, config=cfg, triplets=triplets, label_map=lm
+        spark, dataset_dir, config=cfg, triplets=triplets, label_map=lm,
+        **track_kwargs,
     )
