@@ -340,6 +340,9 @@ def ivf_topk(
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        # repartition by query_id first: one exchange serves both the
+        # multi-probe dedup aggregate and the top-k window below
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to))
     )
@@ -438,6 +441,9 @@ def ivf_topk_portable(
     scored = (
         q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        # repartition by query_id first: one exchange serves both the
+        # multi-probe dedup aggregate and the top-k window below
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to))
     )
@@ -467,9 +473,13 @@ def lsh_topk(
     `max_bucket_size` caps the neighbour side of each bucket (see
     _cap_bucket_members) so a degenerate bucket cannot emit k^2
     pairs."""
-    b = lsh_hyperplane_buckets(embeddings, dim, n_planes, seed, id_col, vec_col)
-    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        b, "id"
+    # bucket computed ALONGSIDE the vector in one projection — the old
+    # form joined embeddings back to lsh_hyperplane_buckets on id, a
+    # self-join (shuffle + second scan) just to re-attach the vector
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _bucket_expr(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     a = e.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket")
     c = e.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
