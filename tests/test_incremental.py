@@ -142,3 +142,83 @@ def test_incremental_rejects_source_overlap(spark, three_source):
     clone_of_standing = three_source["standing"].limit(5)
     with pytest.raises(ValueError, match="overlap"):
         incremental_update(spark, standing, new_triples=clone_of_standing)
+
+
+@pytest.mark.parametrize("blocking", ["cross", "blocked"])
+def test_incremental_remove_equals_rerun_without_source(
+    spark, three_source, blocking
+):
+    """Retraction twin: build the 3-source standing KG, remove src3 —
+    the result must be bit-identical (accepted, clusters with
+    canonical ids, kg tables) to a fresh run over src1+src2, with no
+    remaining pair re-scored (there is no scoring stage at all)."""
+    from veealign_spark.plans.incremental import incremental_remove
+
+    cfg = PipelineConfig(blocking=blocking)
+    standing = run_pipeline(spark, triples=three_source["full"], config=cfg)
+    removed = incremental_remove(spark, standing, ["src3"], config=cfg)
+    rerun = run_pipeline(spark, triples=three_source["standing"], config=cfg)
+
+    def acc_set(res):
+        return {
+            (r["ent1"], r["ent2"])
+            for r in res["accepted"].select("ent1", "ent2").collect()
+        }
+
+    assert acc_set(removed) == acc_set(rerun)
+
+    def clu(res):
+        return {
+            r["entity"]: r["canon_id"]
+            for r in res["clusters"].select("entity", "canon_id").collect()
+        }
+
+    assert clu(removed) == clu(rerun)
+
+    def kg_set(res):
+        return {
+            (r["subj"], r["pred"], r["obj"], r["kind"])
+            for r in res["kg_triples"].collect()
+        }
+
+    assert kg_set(removed) == kg_set(rerun)
+    # no removed-source residue anywhere
+    for key in ("triples", "contexts", "features", "concepts", "props"):
+        assert removed[key].filter(F.col("src") == "src3").count() == 0
+    assert removed["kg_entities"].filter(
+        F.col("entity").startswith("src3#")
+    ).count() == 0
+
+
+def test_incremental_remove_then_update_roundtrip(spark, three_source):
+    """remove(src3) then re-ingest src3 == the original 3-source KG:
+    the deletion twin composes with the addition plan (the state dict
+    it returns is a valid `standing` for incremental_update)."""
+    from veealign_spark.plans.incremental import incremental_remove
+
+    cfg = PipelineConfig(blocking="blocked")
+    full = run_pipeline(spark, triples=three_source["full"], config=cfg)
+    shrunk = incremental_remove(spark, full, ["src3"], config=cfg)
+    # incremental_update unions features/contexts with the standing
+    # dict's — feed it the shrunk state directly
+    back = incremental_update(
+        spark, shrunk, new_triples=three_source["new"], config=cfg
+    )
+    acc = lambda res: {
+        (r["ent1"], r["ent2"])
+        for r in res["accepted"].select("ent1", "ent2").collect()
+    }
+    assert acc(back) == acc(full)
+    clu = lambda res: {
+        r["entity"]: r["canon_id"] for r in res["clusters"].collect()
+    }
+    assert clu(back) == clu(full)
+
+
+def test_incremental_remove_unknown_source_raises(spark, three_source):
+    from veealign_spark.plans.incremental import incremental_remove
+
+    cfg = PipelineConfig()
+    standing = run_pipeline(spark, triples=three_source["standing"], config=cfg)
+    with pytest.raises(ValueError, match="not standing sources"):
+        incremental_remove(spark, standing, ["nope"], config=cfg)

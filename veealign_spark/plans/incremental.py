@@ -318,3 +318,105 @@ def incremental_update(
         "max_types": cfg.max_types,
         **kg,
     }
+
+
+def incremental_remove(
+    spark: SparkSession,
+    standing: dict,
+    remove_sources: list[str],
+    config: PipelineConfig | None = None,
+) -> dict:
+    """Retract whole sources from a standing KG — the deletion twin of
+    incremental_update — without re-scoring any remaining pair.
+
+    Additions only MERGE connected components (incremental_update's
+    premise); removal SPLITS them, which no remap can express. The key
+    property making retraction cheap anyway: an accepted edge between
+    two clusters would have merged them, so no remaining edge crosses
+    from a cluster containing a removed entity to one that does not.
+    Therefore only the clusters that contained a removed-source entity
+    ("affected") can change; every other (entity, canon_id) row is
+    reused verbatim, and connected components re-runs ONLY on the
+    affected clusters' remaining accepted edges — a subgraph bounded
+    by the removed sources' alignment degree, not by the corpus or
+    even the match graph.
+
+    Work profile: per-source tables (triples / contexts / features /
+    prop_contexts / concepts / props) filter on their src column;
+    accepted pairs filter on endpoint source; the CC re-run is
+    affected-subgraph-sized. The ONLY corpus-proportional step is the
+    KG re-materialization (one linear rewrite+dedup scan) — the
+    canonical kg_triples table keeps no per-source provenance, so a
+    triple asserted by both a removed and a remaining source cannot be
+    subtracted in place. (A provenance-counted KG table would make
+    this step KG-sized too; the kernel-scoring quadratic — the actual
+    scale wall — is skipped entirely either way.)
+
+    Equality contract (tests/test_incremental.py): under a fixed
+    config (threshold, max_types — same caveat as incremental_update's
+    arity pin), the result is bit-identical on accepted / clusters /
+    kg_* to a full run_pipeline over the remaining sources. Pair
+    scores are pairwise-local (features are per-source, embeddings
+    per-term), and blocking is recall-complete per pair, so the union
+    run's accepted pairs restricted to remaining sources ARE the
+    remaining-only run's accepted pairs. The returned vocab is the
+    standing one (a superset of the remaining term universe — an
+    embedding-index superset never changes any remaining pair's
+    score, and a later incremental_update unions terms anyway).
+    """
+    rm = sorted(set(remove_sources))
+    std_triples = standing["triples"]
+    std_srcs = {r["src"] for r in std_triples.select("src").distinct().collect()}
+    missing = [s for s in rm if s not in std_srcs]
+    if missing:
+        raise ValueError(f"incremental_remove: not standing sources: {missing}")
+
+    def keep_src(df):
+        return df.filter(~F.col("src").isin(rm))
+
+    def keep_pair(df):
+        return df.filter(
+            ~_src_of(F.col("ent1")).isin(rm) & ~_src_of(F.col("ent2")).isin(rm)
+        )
+
+    triples_rem = keep_src(std_triples)
+    accepted_rem = keep_pair(standing["accepted"])
+
+    clusters = standing["clusters"]
+    # clusters that contained any removed-source entity (tiny: one
+    # distinct over the removed members' canon ids, broadcast back)
+    removed_canons = (
+        clusters.filter(_src_of(F.col("entity")).isin(rm))
+        .select("canon_id")
+        .distinct()
+    )
+    untouched = clusters.join(F.broadcast(removed_canons), "canon_id", "left_anti")
+    affected_entities = clusters.join(
+        F.broadcast(removed_canons), "canon_id"
+    ).select("entity")
+    # remaining accepted edges inside affected clusters: semijoin on
+    # ONE endpoint suffices — a remaining edge out of an affected
+    # cluster into an untouched one cannot exist (it would have merged
+    # them in the standing CC)
+    affected_edges = accepted_rem.select("ent1", "ent2").join(
+        affected_entities.withColumnRenamed("entity", "ent1"), "ent1", "semi"
+    )
+    re_cc = canonicalize.connected_components(affected_edges)
+    clusters_new = untouched.select("entity", "canon_id").unionByName(re_cc)
+
+    kg = canonicalize.materialize_kg(triples_rem, clusters_new)
+    return {
+        "triples": triples_rem,
+        "contexts": keep_src(standing["contexts"]),
+        "features": keep_src(standing["features"]),
+        "prop_contexts": keep_src(standing["prop_contexts"]),
+        "concepts": keep_src(standing["concepts"]) if standing.get("concepts") is not None else None,
+        "props": keep_src(standing["props"]) if standing.get("props") is not None else None,
+        "vocab": standing.get("vocab"),
+        "accepted": accepted_rem,
+        "clusters": clusters_new,
+        "threshold": standing.get("threshold"),
+        "max_types": standing.get("max_types"),
+        "removed_sources": rm,
+        **kg,
+    }
