@@ -694,6 +694,49 @@ def q_kg_incremental_equals_batch(spark, sf_dir):
     )
 
 
+def q_kg_remove_equals_rerun(spark, sf_dir):
+    """Source retraction under the driver gate: build the 3-source KG
+    (src1+src2 + src3, a renamed clone of src2's transcripts), retract
+    src3 via plans.incremental.incremental_remove, and compare against
+    a fresh batch run over src1+src2 only. Returns the symmetric
+    difference of accepted-pair sets UNION the symmetric difference of
+    (entity, canon_id) cluster rows, each tagged by side — the oracle
+    is the empty set. (Removal semantics: only clusters containing a
+    removed entity are re-closed; no remaining edge can cross out of
+    them, pinned at fixture scale in tests/test_incremental.py and
+    surfaced here.)"""
+    _ensure_shipped(spark)
+    from veealign_spark.plans.incremental import incremental_remove
+
+    tdf = _testdata_transcripts(spark, sf_dir)
+    base = tdf.filter(~F.col("conv_id").startswith("src3_"))
+    clone3 = tdf.filter(F.col("conv_id").startswith("src2_")).withColumn(
+        "conv_id", F.regexp_replace("conv_id", "^src2_", "src3_")
+    )
+    cfg = PipelineConfig(blocking="blocked")
+    full = run_pipeline(spark, base.unionByName(clone3), cfg)
+    removed = incremental_remove(spark, full, ["src3"], config=cfg)
+    rerun = run_pipeline(spark, base, cfg)
+
+    def diff(a, b, cols, tag):
+        a, b = a.select(*cols), b.select(*cols)
+        return (
+            a.subtract(b).withColumn("side", F.lit(f"removed_only_{tag}"))
+            .unionByName(
+                b.subtract(a).withColumn("side", F.lit(f"rerun_only_{tag}"))
+            )
+            .select("side", *[F.col(c).alias(n) for c, n in zip(cols, ("ent1", "ent2"))])
+        )
+
+    return diff(
+        removed["accepted"], rerun["accepted"], ["ent1", "ent2"], "acc"
+    ).unionByName(
+        diff(
+            removed["clusters"], rerun["clusters"], ["entity", "canon_id"], "clu"
+        )
+    )
+
+
 def q_p1_iri_normalize(spark, sf_dir):
     """P1/P2: IRI normalization — coalesce alt id forms, take the
     fragment after '#', strip prefixes (ontology.py:219-228 semantics
@@ -901,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_alignments": q_kg_alignments,
         "kg_alignments_external_vectors": q_kg_alignments_external_vectors,
         "kg_incremental_equals_batch": q_kg_incremental_equals_batch,
+        "kg_remove_equals_rerun": q_kg_remove_equals_rerun,
     }
 
 
@@ -1082,6 +1126,12 @@ def oracle_sql() -> dict[str, str]:
         # query returns the symmetric difference of their accepted
         # sets, so the oracle is the empty relation (schema-checked)
         "kg_incremental_equals_batch": """
+            SELECT CAST(NULL AS VARCHAR) AS side,
+                   CAST(NULL AS VARCHAR) AS ent1,
+                   CAST(NULL AS VARCHAR) AS ent2
+            WHERE 1 = 0
+        """,
+        "kg_remove_equals_rerun": """
             SELECT CAST(NULL AS VARCHAR) AS side,
                    CAST(NULL AS VARCHAR) AS ent1,
                    CAST(NULL AS VARCHAR) AS ent2
