@@ -737,6 +737,40 @@ def q_kg_remove_equals_rerun(spark, sf_dir):
     )
 
 
+def q_kg_validate_invariants(spark, sf_dir):
+    """Standing-snapshot roundtrip + KG invariant audit under the
+    driver gate: run the full pipeline, COMPACT the standing state to
+    a snapshot directory (plans/standing.py — the Iceberg
+    rewrite_data_files maintenance analog), reload it cold
+    (verify=True manifest row-count check), and run
+    canonicalize.validate_kg over the RELOADED tables. The oracle is
+    the fixed all-zero invariant table, so any cluster-partition /
+    CC-closure / canonical-rewrite / dedup violation — live, or
+    introduced by the compact->load roundtrip itself — fails the
+    rows+schema+hash gate."""
+    _ensure_shipped(spark)
+    from veealign_spark.operators import canonicalize
+    from veealign_spark.plans.standing import compact_standing, load_standing
+
+    res = run_pipeline(
+        spark,
+        _testdata_transcripts(spark, sf_dir),
+        PipelineConfig(blocking="blocked"),
+        gold=_testdata_gold(spark, sf_dir),
+    )
+    snap = "/tmp/veealign_standing_snap_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    compact_standing(spark, res, snap)
+    loaded = load_standing(spark, snap, verify=True)
+    return canonicalize.validate_kg(
+        loaded["clusters"],
+        loaded["accepted"],
+        loaded["kg_triples"],
+        loaded["kg_entities"],
+    )
+
+
 def q_p1_iri_normalize(spark, sf_dir):
     """P1/P2: IRI normalization — coalesce alt id forms, take the
     fragment after '#', strip prefixes (ontology.py:219-228 semantics
@@ -945,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_alignments_external_vectors": q_kg_alignments_external_vectors,
         "kg_incremental_equals_batch": q_kg_incremental_equals_batch,
         "kg_remove_equals_rerun": q_kg_remove_equals_rerun,
+        "kg_validate_invariants": q_kg_validate_invariants,
     }
 
 
@@ -1136,6 +1171,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS ent1,
                    CAST(NULL AS VARCHAR) AS ent2
             WHERE 1 = 0
+        """,
+        # the compact->load standing snapshot must reproduce a KG that
+        # passes every structural invariant — all-zero is the only
+        # healthy answer, so the oracle is the fixed invariant table
+        "kg_validate_invariants": """
+            SELECT invariant, CAST(0 AS BIGINT) AS violations
+            FROM (VALUES ('entity_multi_cluster'), ('canon_not_min'),
+                         ('cross_cluster_accepted'), ('dup_kg_triples'),
+                         ('dangling_kg_ref'), ('unresolved_kg_ref'))
+                 AS t(invariant)
         """,
         # blocked candidate generation must retain every ground-truth
         # concept pair (blocking recall as a contract-level check)

@@ -1,0 +1,185 @@
+"""Standing-KG snapshots (plans/standing.py) + the invariant auditor
+(canonicalize.validate_kg).
+
+Compaction contract: after a checkpointed batch build plus one
+increment, `compact_standing` -> `load_standing` round-trips every
+table set-equal, carries the scalar pins (max_types, threshold), cuts
+the on-disk part-file count vs the fragmented per-stage checkpoints,
+and — the property that matters — a SECOND increment applied to the
+reloaded snapshot produces bit-identical accepted/clusters/kg tables
+to one applied to the live in-session dict.
+
+Auditor contract: a healthy pipeline result is all-zeros; each
+documented corruption fires exactly its own invariant counter.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from veealign_spark.operators import canonicalize
+from veealign_spark.plans.incremental import incremental_update
+from veealign_spark.plans.pipeline import PipelineConfig, run_pipeline
+from veealign_spark.plans.standing import (
+    compact_standing,
+    load_standing,
+    snapshot_file_count,
+)
+
+TRIPLES_SCHEMA = "src string, subj string, pred string, obj string, kind string"
+
+
+@pytest.fixture(scope="module")
+def src_frames(spark, fixture_pair):
+    tri = fixture_pair["triples"].copy()
+
+    def clone(n):
+        t = tri[tri["src"] == "src2"].copy()
+        t["src"] = f"src{n}"
+        return t
+
+    return {
+        "base": spark.createDataFrame(tri, TRIPLES_SCHEMA),
+        "inc3": spark.createDataFrame(clone(3), TRIPLES_SCHEMA),
+        "inc4": spark.createDataFrame(clone(4), TRIPLES_SCHEMA),
+    }
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_compact_load_and_second_increment(spark, src_frames, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(blocking="blocked", checkpoint_dir=ckpt)
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    inc1 = incremental_update(
+        spark, standing, new_triples=src_frames["inc3"], config=cfg
+    )
+
+    snap = str(tmp_path / "snap")
+    manifest = compact_standing(spark, inc1, snap)
+    assert manifest["scalars"]["max_types"] == cfg.max_types
+    loaded = load_standing(spark, snap, verify=True)
+
+    # table-level roundtrip: set-equal on the state later plans consume
+    for name, cols in [
+        ("accepted", ["ent1", "ent2"]),
+        ("clusters", ["entity", "canon_id"]),
+        ("kg_triples", ["subj", "pred", "obj", "kind"]),
+        ("kg_entities", ["entity"]),
+        ("triples", ["src", "subj", "pred", "obj", "kind"]),
+    ]:
+        assert _rows(loaded[name], cols) == _rows(inc1[name], cols), name
+
+    # compaction actually compacts: the snapshot holds fewer part files
+    # than the fragmented per-stage checkpoint tree it replaces
+    assert snapshot_file_count(snap) < snapshot_file_count(ckpt)
+
+    # the deployment property: increment N+2 off the RELOADED snapshot
+    # == increment N+2 off the live dict (cold-start equivalence).
+    # Fresh checkpoint dirs per side: resume state must not leak.
+    cfg_live = PipelineConfig(
+        blocking="blocked", checkpoint_dir=str(tmp_path / "ck_live")
+    )
+    cfg_cold = PipelineConfig(
+        blocking="blocked", checkpoint_dir=str(tmp_path / "ck_cold")
+    )
+    inc_live = incremental_update(
+        spark, inc1, new_triples=src_frames["inc4"], config=cfg_live
+    )
+    inc_cold = incremental_update(
+        spark, loaded, new_triples=src_frames["inc4"], config=cfg_cold
+    )
+    for name, cols in [
+        ("accepted", ["ent1", "ent2"]),
+        ("clusters", ["entity", "canon_id"]),
+        ("kg_triples", ["subj", "pred", "obj", "kind"]),
+    ]:
+        assert _rows(inc_cold[name], cols) == _rows(inc_live[name], cols), name
+
+    # torn-snapshot detection: manifest row count mismatch raises
+    import json
+    import os
+
+    with open(os.path.join(snap, "manifest.json")) as f:
+        m = json.load(f)
+    m["tables"]["accepted"] += 1
+    with open(os.path.join(snap, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="torn"):
+        load_standing(spark, snap, verify=True)
+    # unverified load still works (the fast path)
+    assert load_standing(spark, snap)["accepted"] is not None
+
+
+def _violations(vdf) -> dict:
+    return {r["invariant"]: r["violations"] for r in vdf.collect()}
+
+
+def test_validate_kg_healthy_and_corrupted(spark, src_frames):
+    cfg = PipelineConfig(blocking="blocked")
+    res = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    clusters, accepted = res["clusters"], res["accepted"]
+    kg_t, kg_e = res["kg_triples"], res["kg_entities"]
+
+    healthy = _violations(canonicalize.validate_kg(clusters, accepted, kg_t, kg_e))
+    assert set(healthy) == {
+        "entity_multi_cluster",
+        "canon_not_min",
+        "cross_cluster_accepted",
+        "dup_kg_triples",
+        "dangling_kg_ref",
+        "unresolved_kg_ref",
+    }
+    assert all(v == 0 for v in healthy.values()), healthy
+
+    # (a) duplicate canonical triple -> dup_kg_triples fires
+    dup = kg_t.unionByName(kg_t.limit(1))
+    v = _violations(canonicalize.validate_kg(clusters, accepted, dup, kg_e))
+    assert v["dup_kg_triples"] == 1 and v["cross_cluster_accepted"] == 0
+
+    # (b) drop one accepted endpoint's cluster row -> cross_cluster fires
+    one_ent = accepted.select(F.col("ent1").alias("entity")).limit(1)
+    torn = clusters.join(one_ent, "entity", "left_anti")
+    v = _violations(canonicalize.validate_kg(torn, accepted, kg_t, kg_e))
+    assert v["cross_cluster_accepted"] >= 1
+
+    # (c) canon id not the min member -> canon_not_min fires
+    bad = clusters.withColumn(
+        "canon_id", F.concat(F.col("canon_id"), F.lit("~zz"))
+    )
+    v = _violations(canonicalize.validate_kg(bad))
+    assert v["canon_not_min"] >= 1
+
+    # (d) entity in two clusters -> entity_multi_cluster fires
+    two = clusters.unionByName(
+        clusters.limit(1).withColumn("canon_id", F.lit("zzz#other"))
+    )
+    v = _violations(canonicalize.validate_kg(two))
+    assert v["entity_multi_cluster"] == 1
+
+    # (e) a triple that escaped the canonical rewrite -> unresolved fires
+    raw_row = (
+        res["triples"]
+        .join(
+            clusters.filter(F.col("entity") != F.col("canon_id"))
+            .select(
+                F.split("entity", "#").getItem(0).alias("src"),
+                F.split("entity", "#").getItem(1).alias("subj"),
+            )
+            .limit(1),
+            ["src", "subj"],
+        )
+        .select(
+            F.concat_ws("#", "src", "subj").alias("subj"),
+            "pred",
+            F.concat_ws("#", "src", "obj").alias("obj"),
+            "kind",
+        )
+        .limit(1)
+    )
+    v = _violations(
+        canonicalize.validate_kg(clusters, accepted, kg_t.unionByName(raw_row), kg_e)
+    )
+    assert v["unresolved_kg_ref"] >= 1

@@ -317,3 +317,120 @@ def one_to_one_filter(
         .filter((F.col("r1") == 1) & (F.col("r2") == 1))
         .drop("r1", "r2", "__s1", "__s2")
     )
+
+
+def validate_kg(
+    clusters: DataFrame,
+    accepted: DataFrame | None = None,
+    kg_triples: DataFrame | None = None,
+    kg_entities: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed invariant audit of a standing KG — the post-commit
+    check a 10^12-turn deployment runs after every increment/retraction
+    before publishing the snapshot (cheap: every check is KG- or
+    match-graph-sized aggregation, never corpus-sized).
+
+    Returns a long-format DataFrame (invariant string, violations
+    bigint); a healthy KG is all zeros. Invariants:
+
+    - entity_multi_cluster: an entity assigned to >1 canonical id —
+      the cluster table is not a partition.
+    - canon_not_min: a cluster whose canon_id is not its lexicographic
+      min member — violates connected_components' id contract (and
+      would break materialize_kg_delta's merge-remap assumption that
+      ids only ever move DOWN to the absorbed component's min).
+    - cross_cluster_accepted: an accepted edge whose endpoints sit in
+      different clusters (or one endpoint unassigned) — CC was not run
+      to closure over the accepted set (exactly the hazard a torn
+      resume or a mis-merged increment would introduce).
+    - dup_kg_triples: duplicate rows in the canonical triple table —
+      the delta-materialization re-dedup was skipped or incomplete.
+    - dangling_kg_ref: a kg_triples subj/obj absent from kg_entities —
+      the entity table is stale relative to the triple table.
+    - unresolved_kg_ref: a kg_triples subj/obj that the cluster table
+      maps to a DIFFERENT canonical id — a triple that escaped the
+      canonical rewrite (the failure mode of a missed remap in
+      materialize_kg_delta).
+    """
+    checks: list[DataFrame] = []
+
+    def add(name: str, df_count: DataFrame) -> None:
+        # df_count is a global agg: exactly one row, never null
+        checks.append(
+            df_count.select(
+                F.lit(name).alias("invariant"),
+                F.col("violations").cast("long").alias("violations"),
+            )
+        )
+
+    add(
+        "entity_multi_cluster",
+        clusters.groupBy("entity")
+        .agg(F.countDistinct("canon_id").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("violations")),
+    )
+    add(
+        "canon_not_min",
+        clusters.groupBy("canon_id")
+        .agg(F.min("entity").alias("m"))
+        .filter(F.col("m") != F.col("canon_id"))
+        .agg(F.count(F.lit(1)).alias("violations")),
+    )
+    if accepted is not None:
+        c1 = clusters.select(
+            F.col("entity").alias("ent1"), F.col("canon_id").alias("c1")
+        )
+        c2 = clusters.select(
+            F.col("entity").alias("ent2"), F.col("canon_id").alias("c2")
+        )
+        add(
+            "cross_cluster_accepted",
+            accepted.select("ent1", "ent2")
+            .join(c1, "ent1", "left")
+            .join(c2, "ent2", "left")
+            .filter(
+                F.col("c1").isNull()
+                | F.col("c2").isNull()
+                | (F.col("c1") != F.col("c2"))
+            )
+            .agg(F.count(F.lit(1)).alias("violations")),
+        )
+    if kg_triples is not None:
+        add(
+            "dup_kg_triples",
+            kg_triples.groupBy(*kg_triples.columns)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(F.count(F.lit(1)).alias("violations")),
+        )
+        refs = kg_triples.select(F.col("subj").alias("ref")).unionByName(
+            kg_triples.select(F.col("obj").alias("ref"))
+        )
+        if kg_entities is not None:
+            add(
+                "dangling_kg_ref",
+                refs.distinct()
+                .join(
+                    kg_entities.select(F.col("entity").alias("ref")),
+                    "ref",
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).alias("violations")),
+            )
+        add(
+            "unresolved_kg_ref",
+            refs.distinct()
+            .join(
+                clusters.select(
+                    F.col("entity").alias("ref"), "canon_id"
+                ),
+                "ref",
+            )
+            .filter(F.col("canon_id") != F.col("ref"))
+            .agg(F.count(F.lit(1)).alias("violations")),
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

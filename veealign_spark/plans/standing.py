@@ -1,0 +1,152 @@
+"""Standing-KG snapshots: compact, persist, and re-open the state that
+`run_pipeline` / `incremental_update` carry between feeds.
+
+The deployment gap this closes: the standing dict those plans exchange
+lives in-session (local checkpoints) or — with a checkpoint_dir — as
+one parquet directory PER STAGE PER INCREMENT (`inc_<fp>_*`). After K
+increments the durable state is K fragments of each logical table, the
+resume path re-derives the dict by replaying ledger stages, and file
+counts grow linearly with feed count (the classic small-file problem —
+on a real cluster these are Iceberg tables and this module is their
+`rewrite_data_files` maintenance action plus a snapshot manifest).
+
+`compact_standing` rewrites every standing table into ONE versioned
+snapshot directory — one shuffle per table, partitioned by that
+table's natural key so AQE picks the output file count (small tables
+collapse to one file, corpus tables stay wide) — and records a
+manifest (row counts, scalars such as `max_types`/`threshold`, the
+source set). `load_standing` re-opens a snapshot cold (a fresh driver,
+days later) into exactly the dict `incremental_update` expects; the
+arity pin (`max_types`) and tuned threshold travel in the manifest, so
+the round-4 silent-mis-shape hazard cannot re-enter through a restart.
+
+Equality contract (tests/test_standing.py): every compacted table is
+set-equal to its in-session original, and an increment applied to the
+RELOADED snapshot produces bit-identical accepted/clusters/kg tables
+to one applied to the live dict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# every DataFrame key a standing dict carries that later plans consume
+# (plans/incremental.py reads: triples, contexts, features,
+# prop_contexts, concepts, props, vocab, accepted, clusters,
+# kg_triples; the kg_* trio is the materialized graph itself).
+# Mapped to the table's natural partition key — on a real cluster this
+# is the Iceberg partition spec; here it drives the compaction
+# repartition so co-partitioned consumers (per-source filters, cluster
+# remaps) read aligned files.
+STANDING_TABLES: dict[str, str] = {
+    "triples": "src",
+    "contexts": "src",
+    "features": "src",
+    "prop_contexts": "src",
+    "concepts": "src",
+    "props": "src",
+    "vocab": "term",
+    "accepted": "ent1",
+    "clusters": "canon_id",
+    "kg_triples": "subj",
+    "kg_entities": "entity",
+    "kg_edges": "child",
+}
+
+# scalar config the consuming plans need back (incremental_update
+# refuses to run without the standing run's max_types — the A5 arity
+# pin; threshold is the tuned acceptance bar the run used).
+STANDING_SCALARS = ("threshold", "max_types", "vector_mode", "new_sources")
+
+MANIFEST = "manifest.json"
+
+
+def _table_path(root: str, name: str) -> str:
+    return os.path.join(root, f"table={name}")
+
+
+def compact_standing(
+    spark: SparkSession,
+    standing: dict,
+    out_dir: str,
+    tables: dict[str, str] | None = None,
+) -> dict:
+    """Rewrite the standing dict's tables into one snapshot directory
+    and return the manifest dict. One job per table: repartition on the
+    table's natural key (AQE coalesces the write to as few files as the
+    data needs — compaction IS the point) then parquet. Row counts come
+    from the written files' footers (a metadata-only count job), so no
+    table is scanned twice.
+
+    Tables absent from the dict (or None — e.g. `vocab` on pre-staging
+    standing dicts) are skipped and recorded as absent in the manifest;
+    `load_standing` restores them as None and `incremental_update`
+    falls back to its re-derivation path exactly as it does live."""
+    spec = tables or STANDING_TABLES
+    written: dict[str, int] = {}
+    for name, key in spec.items():
+        df = standing.get(name)
+        if df is None:
+            continue
+        if key in df.columns:
+            out = df.repartition(F.col(key))
+        else:  # schema drift: still compact, just without the key
+            out = df
+        out.write.mode("overwrite").parquet(_table_path(out_dir, name))
+        written[name] = spark.read.parquet(_table_path(out_dir, name)).count()
+    manifest = {
+        "tables": written,
+        "scalars": {
+            k: standing.get(k)
+            for k in STANDING_SCALARS
+            if standing.get(k) is not None
+        },
+        "created_at": time.time(),
+        "format_version": 1,
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def load_standing(
+    spark: SparkSession, snap_dir: str, verify: bool = False
+) -> dict:
+    """Re-open a `compact_standing` snapshot as a standing dict — the
+    cold-start path: a fresh driver resumes the standing KG without
+    replaying any ledger stage. With verify=True each table's footer
+    row count is checked against the manifest (a metadata-only job per
+    table; catches a partially-deleted or mid-overwrite snapshot before
+    an increment silently links against a truncated standing KG)."""
+    with open(os.path.join(snap_dir, MANIFEST)) as f:
+        manifest = json.load(f)
+    out: dict = {name: None for name in STANDING_TABLES}
+    for name, n_manifest in manifest["tables"].items():
+        df = spark.read.parquet(_table_path(snap_dir, name))
+        if verify:
+            n = df.count()
+            if n != n_manifest:
+                raise ValueError(
+                    f"standing snapshot {snap_dir!r} table {name!r}: "
+                    f"manifest records {n_manifest} rows but the files "
+                    f"hold {n} — snapshot is torn; recompact before use"
+                )
+        out[name] = df
+    out.update(manifest.get("scalars", {}))
+    return out
+
+
+def snapshot_file_count(path: str) -> int:
+    """Count parquet part files under a directory tree (the small-file
+    metric compaction exists to bound; used by tests and benches)."""
+    total = 0
+    for _root, _dirs, files in os.walk(path):
+        total += sum(
+            1 for f in files if f.endswith(".parquet") and f.startswith("part-")
+        )
+    return total
