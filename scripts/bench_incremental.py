@@ -109,6 +109,20 @@ def main() -> None:
     n_acc_full = full["accepted"].count()
     t_full = time.time() - t0
 
+    # post-publish audit (the gate a deployment runs before swapping
+    # the standing snapshot): every structural invariant must be zero
+    from veealign_spark.operators import canonicalize
+
+    t0 = time.time()
+    audit = {
+        r["invariant"]: r["violations"]
+        for r in canonicalize.validate_kg(
+            inc["clusters"], inc["accepted"], inc["kg_triples"],
+            inc["kg_entities"],
+        ).collect()
+    }
+    t_audit = time.time() - t0
+
     out = {
         "copies": COPIES,
         "standing_sources": 2 + N_CLONES,
@@ -122,6 +136,8 @@ def main() -> None:
         "accepted_incremental_total": n_acc_inc,
         "accepted_full_rerun": n_acc_full,
         "accepted_match": n_acc_inc == n_acc_full,
+        "invariant_audit": audit,
+        "invariant_audit_sec": round(t_audit, 2),
         "stage_sec_incremental": {
             m["stage"]: round(m.get("sec", 0.0), 2) for m in inc["metrics"]
         },
