@@ -183,3 +183,63 @@ def test_validate_kg_healthy_and_corrupted(spark, src_frames):
         canonicalize.validate_kg(clusters, accepted, kg_t.unionByName(raw_row), kg_e)
     )
     assert v["unresolved_kg_ref"] >= 1
+
+
+def test_publish_versions_current_and_expire(spark, src_frames, tmp_path):
+    from veealign_spark.plans.standing import (
+        current_version,
+        expire_snapshots,
+        list_versions,
+        publish_standing,
+    )
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    root = str(tmp_path / "pubroot")
+
+    # v1: publish the batch build; CURRENT resolves to it
+    m1 = publish_standing(spark, standing, root)
+    assert m1["version"] == 1
+    assert list_versions(root) == [1] and current_version(root) == 1
+    assert (
+        load_standing(spark, root, verify=True)["accepted"].count()
+        == standing["accepted"].count()
+    )
+
+    # v2: publish after an increment; a root load now sees the NEW KG,
+    # while the v1 directory stays readable as a pinned historical
+    # snapshot (time travel)
+    inc = incremental_update(
+        spark, standing, new_triples=src_frames["inc3"], config=cfg
+    )
+    m2 = publish_standing(spark, inc, root)
+    assert m2["version"] == 2
+    assert list_versions(root) == [1, 2] and current_version(root) == 2
+    assert (
+        load_standing(spark, root, verify=True)["accepted"].count()
+        == inc["accepted"].count()
+    )
+    import os
+
+    v1 = load_standing(spark, os.path.join(root, "v00001"), verify=True)
+    assert v1["accepted"].count() == standing["accepted"].count()
+
+    # the atomicity seam: with a fully-written v3 staged but CURRENT
+    # not yet flipped, a root reader still gets v2 intact
+    v3dir = os.path.join(root, "v00003")
+    compact_standing(spark, inc, v3dir)
+    assert current_version(root) == 2
+    assert (
+        load_standing(spark, root, verify=True)["accepted"].count()
+        == inc["accepted"].count()
+    )
+
+    # expire: keep=1 drops v1 (not current), never the live version
+    removed = expire_snapshots(root, keep=1)
+    assert removed == [1]
+    assert 1 not in list_versions(root) and current_version(root) == 2
+    # live snapshot still loads after expiry
+    assert load_standing(spark, root, verify=True)["accepted"].count() == \
+        inc["accepted"].count()
+    with pytest.raises(ValueError, match="keep"):
+        expire_snapshots(root, keep=0)

@@ -24,12 +24,22 @@ Equality contract (tests/test_standing.py): every compacted table is
 set-equal to its in-session original, and an increment applied to the
 RELOADED snapshot produces bit-identical accepted/clusters/kg tables
 to one applied to the live dict.
+
+`publish_standing` layers snapshot HISTORY on top: each publish writes
+a fresh `v{N:05d}/` snapshot under a root and then atomically flips a
+`CURRENT` pointer file (write-temp + os.replace), so a concurrent
+`load_standing(root)` reads the previous complete snapshot or the new
+complete snapshot — never a half-written one. `expire_snapshots`
+bounds the history (the Iceberg `expire_snapshots` maintenance analog)
+and refuses to remove the version CURRENT points at.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +74,11 @@ STANDING_TABLES: dict[str, str] = {
 STANDING_SCALARS = ("threshold", "max_types", "vector_mode", "new_sources")
 
 MANIFEST = "manifest.json"
+
+# versioned-root layout: root/v00001/, root/v00002/, ... + root/CURRENT
+# (a one-line pointer file naming the live version directory)
+CURRENT = "CURRENT"
+_VERSION_RE = re.compile(r"^v(\d{5})$")
 
 
 def _table_path(root: str, name: str) -> str:
@@ -122,7 +137,16 @@ def load_standing(
     replaying any ledger stage. With verify=True each table's footer
     row count is checked against the manifest (a metadata-only job per
     table; catches a partially-deleted or mid-overwrite snapshot before
-    an increment silently links against a truncated standing KG)."""
+    an increment silently links against a truncated standing KG).
+
+    `snap_dir` may be either a bare snapshot directory (as written by
+    `compact_standing`) or a versioned root (as written by
+    `publish_standing`) — a root is recognized by its CURRENT pointer
+    and resolved to the live version before reading."""
+    cur = os.path.join(snap_dir, CURRENT)
+    if os.path.exists(cur):
+        with open(cur) as f:
+            snap_dir = os.path.join(snap_dir, f.read().strip())
     with open(os.path.join(snap_dir, MANIFEST)) as f:
         manifest = json.load(f)
     out: dict = {name: None for name in STANDING_TABLES}
@@ -139,6 +163,73 @@ def load_standing(
         out[name] = df
     out.update(manifest.get("scalars", {}))
     return out
+
+
+def list_versions(root: str) -> list[int]:
+    """Snapshot versions present under a `publish_standing` root,
+    ascending. Non-version entries (CURRENT, stray files) are ignored."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = _VERSION_RE.match(name)
+        if m and os.path.isdir(os.path.join(root, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_version(root: str) -> int | None:
+    """The version the CURRENT pointer names, or None if unpublished."""
+    cur = os.path.join(root, CURRENT)
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        m = _VERSION_RE.match(f.read().strip())
+    return int(m.group(1)) if m else None
+
+
+def publish_standing(
+    spark: SparkSession,
+    standing: dict,
+    root: str,
+    tables: dict[str, str] | None = None,
+) -> dict:
+    """Compact `standing` into the NEXT version directory under `root`
+    and atomically flip the CURRENT pointer to it. The pointer flip is
+    the publish: the snapshot is fully written (tables + manifest)
+    before os.replace() swaps CURRENT, so a reader that opens the root
+    at any moment sees the previous complete version or the new one,
+    never a torn mixture. Returns the manifest (with `version`)."""
+    version = (list_versions(root) or [0])[-1] + 1
+    vname = f"v{version:05d}"
+    vdir = os.path.join(root, vname)
+    manifest = compact_standing(spark, standing, vdir, tables)
+    manifest["version"] = version
+    with open(os.path.join(vdir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    tmp = os.path.join(root, CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(vname + "\n")
+    os.replace(tmp, os.path.join(root, CURRENT))
+    return manifest
+
+
+def expire_snapshots(root: str, keep: int = 2) -> list[int]:
+    """Remove all but the newest `keep` versions under a published
+    root; the version CURRENT points at is always retained regardless
+    of age (expiring the live snapshot is never maintenance). Returns
+    the versions removed."""
+    if keep < 1:
+        raise ValueError("expire_snapshots: keep must be >= 1")
+    versions = list_versions(root)
+    live = current_version(root)
+    removed = []
+    for v in versions[:-keep] if keep < len(versions) else []:
+        if v == live:
+            continue
+        shutil.rmtree(os.path.join(root, f"v{v:05d}"))
+        removed.append(v)
+    return removed
 
 
 def snapshot_file_count(path: str) -> int:
