@@ -150,10 +150,22 @@ def test_stream_incremental_ingest_equals_batch(
         sdf.coalesce(1).write.mode("append").parquet(in_dir)
 
     standing = run_pipeline(spark, transcripts_sdf)
+    pub_root = str(tmp_path / "pubroot")
     state = sm.stream_incremental_ingest(
-        spark, in_dir, standing, checkpoint=str(tmp_path / "ckpt")
+        spark, in_dir, standing, checkpoint=str(tmp_path / "ckpt"),
+        publish_root=pub_root, publish_keep=1,
     )
     assert state["batches"] == 2
+    # every accepted micro-batch published a snapshot version; keep=1
+    # retention left only the live one
+    from veealign_spark.plans.standing import (
+        current_version,
+        list_versions,
+        load_standing,
+    )
+
+    assert state["published_versions"] == [1, 2]
+    assert list_versions(pub_root) == [2] and current_version(pub_root) == 2
 
     # baseline: one batch run over the SAME transcript corpus (standing
     # + both landed sources), so both sides share the extraction path
@@ -182,3 +194,10 @@ def test_stream_incremental_ingest_equals_batch(
     assert acc(final) == acc(full)
     assert clu(final) == clu(full)
     assert kg(final) == kg(full)
+
+    # the restart story end to end: a COLD load of the published root
+    # (what a fresh driver opens after a crash) equals the batch run
+    cold = load_standing(spark, pub_root, verify=True)
+    assert acc(cold) == acc(full)
+    assert clu(cold) == clu(full)
+    assert kg(cold) == kg(full)

@@ -92,6 +92,8 @@ def stream_incremental_ingest(
     checkpoint: str,
     config=None,
     max_files_per_trigger: int = 1,
+    publish_root: str | None = None,
+    publish_keep: int | None = None,
 ) -> dict:
     """Streaming bridge into the source-grain incremental plan: each
     micro-batch of landed transcript files is aligned against the
@@ -107,11 +109,22 @@ def stream_incremental_ingest(
     end state is bit-identical to one batch run over standing u all
     increments — pinned by tests/test_streaming.py.
 
-    Returns {"standing": <final result dict>, "batches": n}."""
+    With `publish_root` set, each ingested micro-batch is additionally
+    published as a versioned standing snapshot (plans.standing.
+    publish_standing: atomic CURRENT flip, so a concurrent reader of
+    the root always sees a complete KG), and `publish_keep` bounds the
+    retained history via expire_snapshots — the continuous-deployment
+    loop: feeds stream in, every accepted batch becomes a restartable
+    cold-load point. A crash between batches loses only in-flight work;
+    the stream checkpoint + the published CURRENT version together are
+    the resume state.
+
+    Returns {"standing": <final result dict>, "batches": n,
+    "published_versions": [...]}."""
     from veealign_spark import schemas
     from veealign_spark.plans.incremental import incremental_update
 
-    state = {"standing": standing, "batches": 0}
+    state = {"standing": standing, "batches": 0, "published_versions": []}
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -120,6 +133,16 @@ def stream_incremental_ingest(
             spark, state["standing"], new_transcripts=batch_df, config=config
         )
         state["batches"] += 1
+        if publish_root is not None:
+            from veealign_spark.plans.standing import (
+                expire_snapshots,
+                publish_standing,
+            )
+
+            m = publish_standing(spark, state["standing"], publish_root)
+            state["published_versions"].append(m["version"])
+            if publish_keep is not None:
+                expire_snapshots(publish_root, keep=publish_keep)
 
     q = (
         spark.readStream.schema(schemas.TRANSCRIPTS)
