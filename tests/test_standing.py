@@ -243,3 +243,109 @@ def test_publish_versions_current_and_expire(spark, src_frames, tmp_path):
         inc["accepted"].count()
     with pytest.raises(ValueError, match="keep"):
         expire_snapshots(root, keep=0)
+
+
+def test_reader_pinned_version_survives_one_flip(spark, src_frames, tmp_path):
+    """The retention-window contract for concurrent readers: a reader
+    that resolved CURRENT -> vN keeps reading vN's directory after the
+    publisher flips to vN+1, as long as retention keeps >= 2 versions.
+    With keep=1 the pinned version is reclaimed out from under the
+    reader and its next read fails loudly (never a torn result) — the
+    explicit policy: run expire_snapshots with keep >= 2 wherever
+    readers overlap publishes; keep=1 is for single-process loops like
+    the streaming ingest test."""
+    import os
+
+    from veealign_spark.plans.standing import (
+        expire_snapshots,
+        publish_standing,
+    )
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    inc = incremental_update(
+        spark, standing, new_triples=src_frames["inc3"], config=cfg
+    )
+    root = str(tmp_path / "pubroot")
+    publish_standing(spark, standing, root)
+
+    # reader resolves CURRENT -> v1 (the first half of load_standing)
+    pinned = os.path.join(root, "v00001")
+
+    # publisher flips to v2 and runs retention with keep=2: the
+    # reader's pinned v1 is still on disk, so its (late) table reads
+    # complete and see exactly the v1 KG
+    publish_standing(spark, inc, root)
+    assert expire_snapshots(root, keep=2) == []
+    late = load_standing(spark, pinned, verify=True)
+    assert late["accepted"].count() == standing["accepted"].count()
+
+    # keep=1 reclaims v1: the pinned reader now fails loudly at
+    # manifest open (no partial table reads), and a fresh root resolve
+    # sees the complete v2
+    assert expire_snapshots(root, keep=1) == [1]
+    with pytest.raises(FileNotFoundError):
+        load_standing(spark, pinned, verify=True)
+    assert (
+        load_standing(spark, root, verify=True)["accepted"].count()
+        == inc["accepted"].count()
+    )
+
+
+def test_threaded_publish_never_tears_a_reader(spark, src_frames, tmp_path):
+    """Empirical atomicity smoke: a publisher thread pushes versions
+    while the main thread load_standing(root, verify=True) in a tight
+    loop. Every read must succeed and return a row count matching one
+    of the published KGs — never a torn mixture, never an error.
+    Retention is disabled (keep > versions) so only the CURRENT-flip
+    atomicity is on trial; the retention window has its own test."""
+    import threading
+
+    from veealign_spark.plans.standing import (
+        current_version,
+        publish_standing,
+    )
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    inc = incremental_update(
+        spark, standing, new_triples=src_frames["inc3"], config=cfg
+    )
+    root = str(tmp_path / "pubroot")
+    publish_standing(spark, standing, root)
+
+    n_base = standing["accepted"].count()
+    n_inc = inc["accepted"].count()
+    assert n_inc != n_base  # the two versions are distinguishable
+
+    errors: list[BaseException] = []
+
+    def publisher():
+        try:
+            # alternate the two KGs across three more versions
+            for st in (inc, standing, inc):
+                publish_standing(spark, st, root)
+        except BaseException as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    t = threading.Thread(target=publisher)
+    t.start()
+    seen_versions = set()
+    reads = 0
+    try:
+        while t.is_alive() or reads == 0:
+            loaded = load_standing(spark, root, verify=True)
+            n = loaded["accepted"].count()
+            assert n in (n_base, n_inc), n
+            seen_versions.add(current_version(root))
+            reads += 1
+    finally:
+        t.join()
+    assert not errors, errors
+    # the loop genuinely overlapped the publisher and landed on the
+    # final version in the end
+    assert reads >= 2
+    assert current_version(root) == 4
+    assert (
+        load_standing(spark, root, verify=True)["accepted"].count() == n_inc
+    )
