@@ -10,8 +10,9 @@ import pytest
 import __spark_entry__ as em
 
 # scalar global aggregate: its SinglePartition exchange carries exactly
-# one partially-aggregated row
-SCALAR_AGG_QUERIES = {"t3_oversample"}
+# one partially-aggregated row (kg_validate_invariants is a union of
+# six such one-row global counts — the audit summary)
+SCALAR_AGG_QUERIES = {"t3_oversample", "kg_validate_invariants"}
 
 # full-pipeline / iterative queries excluded from the per-test plan
 # sweep for runtime (covered by their own tests + the correctness gate)

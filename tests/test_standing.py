@@ -245,6 +245,42 @@ def test_publish_versions_current_and_expire(spark, src_frames, tmp_path):
         expire_snapshots(root, keep=0)
 
 
+def test_format_version_and_publisher_claim(spark, src_frames, tmp_path):
+    """A snapshot written by a newer (incompatible) layout is refused
+    at load instead of misread; and the version directory acts as a
+    publisher's mkdir-lock — a staged directory at the next version
+    number makes publish advance past it rather than interleave table
+    writes into it."""
+    import json
+    import os
+
+    from veealign_spark.plans.standing import publish_standing
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+
+    snap = str(tmp_path / "snap")
+    compact_standing(spark, standing, snap)
+    with open(os.path.join(snap, "manifest.json")) as f:
+        m = json.load(f)
+    m["format_version"] = 99
+    with open(os.path.join(snap, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="format_version"):
+        load_standing(spark, snap)
+
+    root = str(tmp_path / "pubroot")
+    publish_standing(spark, standing, root)
+    # another publisher (or a crashed one) already claimed v00002
+    os.makedirs(os.path.join(root, "v00002"))
+    m3 = publish_standing(spark, standing, root)
+    assert m3["version"] == 3
+    from veealign_spark.plans.standing import current_version
+
+    assert current_version(root) == 3
+    assert load_standing(spark, root, verify=True)["accepted"] is not None
+
+
 def test_reader_pinned_version_survives_one_flip(spark, src_frames, tmp_path):
     """The retention-window contract for concurrent readers: a reader
     that resolved CURRENT -> vN keeps reading vN's directory after the

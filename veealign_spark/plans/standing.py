@@ -75,6 +75,10 @@ STANDING_SCALARS = ("threshold", "max_types", "vector_mode", "new_sources")
 
 MANIFEST = "manifest.json"
 
+# bumped on any incompatible snapshot-layout change; load_standing
+# refuses a mismatched snapshot instead of misreading it
+FORMAT_VERSION = 1
+
 # versioned-root layout: root/v00001/, root/v00002/, ... + root/CURRENT
 # (a one-line pointer file naming the live version directory)
 CURRENT = "CURRENT"
@@ -122,7 +126,7 @@ def compact_standing(
             if standing.get(k) is not None
         },
         "created_at": time.time(),
-        "format_version": 1,
+        "format_version": FORMAT_VERSION,
     }
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -149,6 +153,13 @@ def load_standing(
             snap_dir = os.path.join(snap_dir, f.read().strip())
     with open(os.path.join(snap_dir, MANIFEST)) as f:
         manifest = json.load(f)
+    fv = manifest.get("format_version")
+    if fv != FORMAT_VERSION:
+        raise ValueError(
+            f"standing snapshot {snap_dir!r} has format_version {fv!r}; "
+            f"this reader supports {FORMAT_VERSION} — upgrade the reader "
+            "or recompact the snapshot with the matching writer"
+        )
     out: dict = {name: None for name in STANDING_TABLES}
     for name, n_manifest in manifest["tables"].items():
         df = spark.read.parquet(_table_path(snap_dir, name))
@@ -200,9 +211,20 @@ def publish_standing(
     before os.replace() swaps CURRENT, so a reader that opens the root
     at any moment sees the previous complete version or the new one,
     never a torn mixture. Returns the manifest (with `version`)."""
+    os.makedirs(root, exist_ok=True)
     version = (list_versions(root) or [0])[-1] + 1
-    vname = f"v{version:05d}"
-    vdir = os.path.join(root, vname)
+    # claim the version directory atomically (mkdir is the lock): two
+    # concurrent publishers each land on their own version instead of
+    # interleaving table writes inside one directory; last CURRENT
+    # flip wins, both snapshots stay complete and loadable
+    while True:
+        vname = f"v{version:05d}"
+        vdir = os.path.join(root, vname)
+        try:
+            os.makedirs(vdir, exist_ok=False)
+            break
+        except FileExistsError:
+            version += 1
     manifest = compact_standing(spark, standing, vdir, tables)
     manifest["version"] = version
     with open(os.path.join(vdir, MANIFEST), "w") as f:
