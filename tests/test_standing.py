@@ -245,6 +245,71 @@ def test_publish_versions_current_and_expire(spark, src_frames, tmp_path):
         expire_snapshots(root, keep=0)
 
 
+def test_diff_versions_and_lineage(spark, src_frames, tmp_path):
+    """diff_versions is the post-increment audit: the v1->v2 KG diff is
+    exactly the increment's triple delta (all 'added' here — an
+    increment only grows the KG), a self-diff is empty, multiset
+    semantics expose a duplicate row even when the distinct set is
+    unchanged, and caller lineage survives in the manifest."""
+    from veealign_spark.plans.standing import (
+        diff_versions,
+        publish_standing,
+        read_manifest,
+    )
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    inc = incremental_update(
+        spark, standing, new_triples=src_frames["inc3"], config=cfg
+    )
+    root = str(tmp_path / "pubroot")
+    publish_standing(spark, standing, root, lineage={"feed": "batch0"})
+    publish_standing(spark, inc, root, lineage={"feed": "inc3"})
+
+    # inc3 is a content-clone of src2: every canonical triple it carries
+    # already exists, so the canonical-KG diff is EMPTY — the audit
+    # proves a duplicate feed added no knowledge...
+    assert diff_versions(spark, root, 1, 2).count() == 0
+    # ...while the cluster diff shows exactly the absorbed entities
+    ccols = ["entity", "canon_id"]
+    d = diff_versions(spark, root, 1, 2, table="clusters")
+    added = _rows(d.filter(F.col("change") == "added"), ccols)
+    removed = _rows(d.filter(F.col("change") == "removed"), ccols)
+    want = sorted(
+        set(_rows(inc["clusters"], ccols))
+        - set(_rows(standing["clusters"], ccols))
+    )
+    assert added == want and added  # src3's entities joined the clusters
+    assert removed == []
+
+    # self-diff is empty; reversed diff mirrors added<->removed
+    assert diff_versions(spark, root, 2, 2, table="clusters").count() == 0
+    assert (
+        diff_versions(spark, root, 2, 1, table="clusters")
+        .filter(F.col("change") == "removed")
+        .count()
+        == len(added)
+    )
+
+    # multiset semantics: publish a version with one duplicated triple;
+    # the diff vs v2 is exactly that one extra row, flagged 'added'
+    dup = dict(inc)
+    dup["kg_triples"] = inc["kg_triples"].unionByName(
+        inc["kg_triples"].limit(1)
+    )
+    publish_standing(spark, dup, root)
+    d3 = diff_versions(spark, root, 2, 3)
+    assert d3.count() == 1
+    assert d3.select("change").first()["change"] == "added"
+
+    # lineage round-trips through the manifest (pinned + CURRENT forms)
+    assert read_manifest(root, 2)["lineage"] == {"feed": "inc3"}
+    assert read_manifest(root)["version"] == 3
+
+    with pytest.raises(ValueError, match="unknown standing table"):
+        diff_versions(spark, root, 1, 2, table="nope")
+
+
 def test_format_version_and_publisher_claim(spark, src_frames, tmp_path):
     """A snapshot written by a newer (incompatible) layout is refused
     at load instead of misread; and the version directory acts as a

@@ -204,13 +204,19 @@ def publish_standing(
     standing: dict,
     root: str,
     tables: dict[str, str] | None = None,
+    lineage: dict | None = None,
 ) -> dict:
     """Compact `standing` into the NEXT version directory under `root`
     and atomically flip the CURRENT pointer to it. The pointer flip is
     the publish: the snapshot is fully written (tables + manifest)
     before os.replace() swaps CURRENT, so a reader that opens the root
     at any moment sees the previous complete version or the new one,
-    never a torn mixture. Returns the manifest (with `version`)."""
+    never a torn mixture. Returns the manifest (with `version`).
+
+    `lineage` is caller-supplied provenance recorded verbatim in the
+    manifest (JSON-serializable: feed/batch ids, source names, commit)
+    so each version stays attributable long after the feed moved on —
+    the streaming ingest loop records its epoch id here."""
     os.makedirs(root, exist_ok=True)
     version = (list_versions(root) or [0])[-1] + 1
     # claim the version directory atomically (mkdir is the lock): two
@@ -227,6 +233,8 @@ def publish_standing(
             version += 1
     manifest = compact_standing(spark, standing, vdir, tables)
     manifest["version"] = version
+    if lineage is not None:
+        manifest["lineage"] = lineage
     with open(os.path.join(vdir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     tmp = os.path.join(root, CURRENT + ".tmp")
@@ -252,6 +260,57 @@ def expire_snapshots(root: str, keep: int = 2) -> list[int]:
         shutil.rmtree(os.path.join(root, f"v{v:05d}"))
         removed.append(v)
     return removed
+
+
+def read_manifest(root: str, version: int | None = None) -> dict:
+    """The manifest of one published version (CURRENT when `version`
+    is None) — row counts, scalars, lineage; a metadata read, no Spark
+    job."""
+    if version is None:
+        version = current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"{root!r} has no CURRENT pointer")
+    with open(os.path.join(root, f"v{version:05d}", MANIFEST)) as f:
+        return json.load(f)
+
+
+def diff_versions(
+    spark: SparkSession,
+    root: str,
+    v_old: int,
+    v_new: int,
+    table: str = "kg_triples",
+) -> DataFrame:
+    """What changed in one standing table between two published
+    versions — the post-increment audit query ("what did feed N do to
+    the KG"). Returns the table's columns plus a `change` column
+    ('added' rows exist only in v_new, 'removed' only in v_old).
+
+    Distributed two-sided anti-diff: each side is one exceptAll
+    (hash-distinct shuffle on the table's own size — KG-sized, never
+    corpus-sized), and both versions are read straight from their
+    snapshot directories, so the audit never touches live state. The
+    diff of a version against itself is empty; rows are multiset-
+    diffed, so a duplicate introduced by a bad merge shows up even
+    when the distinct row set is unchanged."""
+    if table not in STANDING_TABLES:
+        raise ValueError(f"unknown standing table {table!r}")
+    paths = [
+        _table_path(os.path.join(root, f"v{v:05d}"), table)
+        for v in (v_old, v_new)
+    ]
+    old_df = spark.read.parquet(paths[0])
+    new_df = spark.read.parquet(paths[1])
+    cols = old_df.columns
+    return (
+        new_df.exceptAll(old_df.select(*cols))
+        .withColumn("change", F.lit("added"))
+        .unionByName(
+            old_df.exceptAll(new_df.select(*cols)).withColumn(
+                "change", F.lit("removed")
+            )
+        )
+    )
 
 
 def snapshot_file_count(path: str) -> int:

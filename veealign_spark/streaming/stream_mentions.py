@@ -139,7 +139,12 @@ def stream_incremental_ingest(
                 publish_standing,
             )
 
-            m = publish_standing(spark, state["standing"], publish_root)
+            m = publish_standing(
+                spark,
+                state["standing"],
+                publish_root,
+                lineage={"stream_epoch": epoch_id, "batch": state["batches"]},
+            )
             state["published_versions"].append(m["version"])
             if publish_keep is not None:
                 expire_snapshots(publish_root, keep=publish_keep)
