@@ -771,6 +771,63 @@ def q_kg_validate_invariants(spark, sf_dir):
     )
 
 
+def q_kg_version_diff_audit(spark, sf_dir):
+    """Version-diff audit under the driver gate: publish the standing
+    src1+src2 KG as v1 and the src3-incremented KG as v2 (atomic
+    CURRENT flips, plans/standing.py), then compare
+    diff_versions(v1, v2, 'clusters') — computed purely from the
+    published parquet — against the in-session cluster delta
+    (inc.clusters exceptAll standing.clusters and the reverse).
+    Returns the symmetric difference of the two (change, entity,
+    canon_id) multisets tagged by side; the oracle is the empty set,
+    so the published history's audit answer must match the live
+    engine's answer exactly — a torn publish, a version mixup, or a
+    diff bug all fail rows+schema+hash."""
+    _ensure_shipped(spark)
+    import shutil
+
+    from veealign_spark.plans.incremental import incremental_update
+    from veealign_spark.plans.standing import diff_versions, publish_standing
+
+    tdf = _testdata_transcripts(spark, sf_dir)
+    base = tdf.filter(~F.col("conv_id").startswith("src3_"))
+    clone3 = tdf.filter(F.col("conv_id").startswith("src2_")).withColumn(
+        "conv_id", F.regexp_replace("conv_id", "^src2_", "src3_")
+    )
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, base, cfg)
+    inc = incremental_update(spark, standing, new_transcripts=clone3, config=cfg)
+
+    root = "/tmp/veealign_gate_pubroot_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    shutil.rmtree(root, ignore_errors=True)
+    publish_standing(spark, standing, root, lineage={"feed": "base"})
+    publish_standing(spark, inc, root, lineage={"feed": "src3"})
+
+    got = diff_versions(spark, root, 1, 2, table="clusters").select(
+        "change", "entity", "canon_id"
+    )
+    cl_cols = ["entity", "canon_id"]
+    want = (
+        inc["clusters"].select(*cl_cols)
+        .exceptAll(standing["clusters"].select(*cl_cols))
+        .select(F.lit("added").alias("change"), *cl_cols)
+        .unionByName(
+            standing["clusters"].select(*cl_cols)
+            .exceptAll(inc["clusters"].select(*cl_cols))
+            .select(F.lit("removed").alias("change"), *cl_cols)
+        )
+    )
+    return (
+        got.exceptAll(want).withColumn("side", F.lit("published_only"))
+        .unionByName(
+            want.exceptAll(got).withColumn("side", F.lit("live_only"))
+        )
+        .select("side", "change", "entity", "canon_id")
+    )
+
+
 def q_p1_iri_normalize(spark, sf_dir):
     """P1/P2: IRI normalization — coalesce alt id forms, take the
     fragment after '#', strip prefixes (ontology.py:219-228 semantics
@@ -979,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_alignments_external_vectors": q_kg_alignments_external_vectors,
         "kg_incremental_equals_batch": q_kg_incremental_equals_batch,
         "kg_remove_equals_rerun": q_kg_remove_equals_rerun,
+        "kg_version_diff_audit": q_kg_version_diff_audit,
         "kg_validate_invariants": q_kg_validate_invariants,
     }
 
@@ -1170,6 +1228,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS VARCHAR) AS side,
                    CAST(NULL AS VARCHAR) AS ent1,
                    CAST(NULL AS VARCHAR) AS ent2
+            WHERE 1 = 0
+        """,
+        # the version-diff audit over the PUBLISHED snapshot history
+        # must reproduce the live engine's cluster delta exactly — the
+        # query returns the symmetric difference, oracle = empty set
+        "kg_version_diff_audit": """
+            SELECT CAST(NULL AS VARCHAR) AS side,
+                   CAST(NULL AS VARCHAR) AS change,
+                   CAST(NULL AS VARCHAR) AS entity,
+                   CAST(NULL AS VARCHAR) AS canon_id
             WHERE 1 = 0
         """,
         # the compact->load standing snapshot must reproduce a KG that

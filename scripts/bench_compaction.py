@@ -59,7 +59,9 @@ def main() -> None:
     from veealign_spark.plans.pipeline import PipelineConfig, run_pipeline
     from veealign_spark.plans.standing import (
         compact_standing,
+        diff_versions,
         load_standing,
+        publish_standing,
     )
 
     spark = bench.fresh_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -109,12 +111,30 @@ def main() -> None:
     # the reloaded snapshot == off the live dict
     nxt = _clone(base_tdf, "srcnext")
     cfg_live = PipelineConfig(blocking="blocked")
-    acc_live = incremental_update(
+    state_next = incremental_update(
         spark, state, new_transcripts=nxt, config=cfg_live
-    )["accepted"].count()
+    )
+    acc_live = state_next["accepted"].count()
     acc_cold = incremental_update(
         spark, loaded, new_transcripts=nxt, config=cfg_live
     )["accepted"].count()
+
+    # the continuous-deployment loop: publish pre- and post-increment
+    # versions (atomic CURRENT flip each), then run the version-diff
+    # audit between them -- the per-feed ops cost on top of ingest
+    root = f"/tmp/compaction_pub_{COPIES}_{N_INCS}"
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.time()
+    publish_standing(spark, state, root, lineage={"feed": "standing"})
+    t_pub1 = time.time() - t0
+    t0 = time.time()
+    publish_standing(spark, state_next, root, lineage={"feed": "srcnext"})
+    t_pub2 = time.time() - t0
+    t0 = time.time()
+    dv = diff_versions(spark, root, 1, 2, table="clusters")
+    diff_added = dv.filter(F.col("change") == "added").count()
+    diff_removed = dv.filter(F.col("change") == "removed").count()
+    t_diff = time.time() - t0
 
     out = {
         "copies": COPIES,
@@ -133,6 +153,11 @@ def main() -> None:
         "accepted_next_live": acc_live,
         "accepted_next_cold": acc_cold,
         "cold_start_match": acc_live == acc_cold,
+        "publish_v1_sec": round(t_pub1, 2),
+        "publish_v2_sec": round(t_pub2, 2),
+        "diff_clusters_sec": round(t_diff, 2),
+        "diff_added": diff_added,
+        "diff_removed": diff_removed,
     }
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)

@@ -17,7 +17,7 @@ SCALAR_AGG_QUERIES = {"t3_oversample", "kg_validate_invariants"}
 # full-pipeline / iterative queries excluded from the per-test plan
 # sweep for runtime (covered by their own tests + the correctness gate)
 HEAVY = {"kg_alignments", "kg_blocked_candidates", "kg_blocking_recall",
-         "kg_incremental_equals_batch"}
+         "kg_incremental_equals_batch", "kg_version_diff_audit"}
 
 
 def test_every_oracle_has_a_query():

@@ -248,7 +248,13 @@ def expire_snapshots(root: str, keep: int = 2) -> list[int]:
     """Remove all but the newest `keep` versions under a published
     root; the version CURRENT points at is always retained regardless
     of age (expiring the live snapshot is never maintenance). Returns
-    the versions removed."""
+    the versions removed.
+
+    A publisher that crashed mid-write leaves a claimed-but-incomplete
+    version directory; CURRENT never points at it (the flip is the
+    last step), root readers never resolve into it, and this sweep
+    reclaims it once `keep` newer versions exist — at most the
+    newest-claimed dir can linger, bounded garbage of one directory."""
     if keep < 1:
         raise ValueError("expire_snapshots: keep must be >= 1")
     versions = list_versions(root)
