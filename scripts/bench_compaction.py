@@ -127,6 +127,19 @@ def main() -> None:
     t0 = time.time()
     publish_standing(spark, state, root, lineage={"feed": "standing"})
     t_pub1 = time.time() - t0
+    # the corpus-flat per-feed commit: the post-increment state as a
+    # format-2 DELTA off v1 (per-source tables ship only srcnext's
+    # rows; KG-sized tables rewritten) -- what a long-running
+    # deployment pays per feed
+    t0 = time.time()
+    publish_standing(
+        spark, state_next, root, lineage={"feed": "srcnext-delta"},
+        incremental=True,
+    )
+    t_pub_inc = time.time() - t0
+    inc_files, inc_bytes = _du(os.path.join(root, "v00002"))
+    # the same state as a FULL rewrite (the O(corpus)-per-feed
+    # alternative the delta commit replaces)
     t0 = time.time()
     publish_standing(spark, state_next, root, lineage={"feed": "srcnext"})
     t_pub2 = time.time() - t0
@@ -135,7 +148,6 @@ def main() -> None:
     diff_added = dv.filter(F.col("change") == "added").count()
     diff_removed = dv.filter(F.col("change") == "removed").count()
     t_diff = time.time() - t0
-
     out = {
         "copies": COPIES,
         "n_increments": N_INCS,
@@ -153,8 +165,11 @@ def main() -> None:
         "accepted_next_live": acc_live,
         "accepted_next_cold": acc_cold,
         "cold_start_match": acc_live == acc_cold,
-        "publish_v1_sec": round(t_pub1, 2),
-        "publish_v2_sec": round(t_pub2, 2),
+        "publish_full_base_sec": round(t_pub1, 2),
+        "publish_full_next_sec": round(t_pub2, 2),
+        "publish_incremental_sec": round(t_pub_inc, 2),
+        "incremental_version_files": inc_files,
+        "incremental_version_mb": round(inc_bytes / 1e6, 2),
         "diff_clusters_sec": round(t_diff, 2),
         "diff_added": diff_added,
         "diff_removed": diff_removed,

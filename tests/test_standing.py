@@ -245,6 +245,108 @@ def test_publish_versions_current_and_expire(spark, src_frames, tmp_path):
         expire_snapshots(root, keep=0)
 
 
+def test_incremental_publish_chain(spark, src_frames, tmp_path):
+    """Format-2 delta publishing: per-source tables are NOT rewritten
+    per feed — each incremental publish ships only the new sources'
+    rows and references the base version's directories. Pins: chained
+    manifests reference the whole history, a cold root load equals the
+    live dict, a pinned mid-chain version still loads, reference-aware
+    retention refuses to reclaim a referenced base even outside the
+    keep window, and a full publish re-flattens the chain making it
+    reclaimable."""
+    import os
+
+    from veealign_spark.plans.standing import (
+        current_version,
+        expire_snapshots,
+        list_versions,
+        publish_standing,
+        read_manifest,
+    )
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    inc1 = incremental_update(
+        spark, standing, new_triples=src_frames["inc3"], config=cfg
+    )
+    inc2 = incremental_update(
+        spark, inc1, new_triples=src_frames["inc4"], config=cfg
+    )
+    root = str(tmp_path / "pubroot")
+    publish_standing(spark, standing, root)  # v1: full
+    publish_standing(spark, inc1, root, incremental=True)  # v2: delta
+    publish_standing(spark, inc2, root, incremental=True)  # v3: delta
+
+    # the manifests chain: v3's triples union the whole history, and
+    # the delta rows are exactly the new source's
+    m2, m3 = read_manifest(root, 2), read_manifest(root, 3)
+    assert m2["format_version"] == 2 and m3["format_version"] == 2
+    assert m2["tables"]["triples"]["paths"] == [
+        "v00001/table=triples", "v00002/table=triples",
+    ]
+    assert m3["tables"]["triples"]["paths"] == [
+        "v00001/table=triples", "v00002/table=triples",
+        "v00003/table=triples",
+    ]
+    n_src3 = src_frames["inc3"].count()
+    assert (
+        m2["tables"]["triples"]["rows"]
+        == standing["triples"].count() + n_src3
+    )
+    # v3's own delta dir holds ONLY src4's triples
+    v3_delta = spark.read.parquet(os.path.join(root, "v00003/table=triples"))
+    assert v3_delta.select("src").distinct().collect()[0]["src"] == "src4"
+
+    # cold load of the root == the live dict, on every table class
+    cold = load_standing(spark, root, verify=True)
+    for name, cols in [
+        ("triples", ["src", "subj", "pred", "obj", "kind"]),
+        ("contexts", None),
+        ("accepted", ["ent1", "ent2"]),
+        ("clusters", ["entity", "canon_id"]),
+        ("kg_triples", ["subj", "pred", "obj", "kind"]),
+    ]:
+        cc = cols or cold[name].columns
+        assert _rows(cold[name], cc) == _rows(inc2[name], cc), name
+    # scalars traveled too (the arity pin the next increment needs)
+    assert cold["max_types"] == cfg.max_types
+
+    # a pinned mid-chain version still loads and equals its state
+    mid = load_standing(spark, os.path.join(root, "v00002"), verify=True)
+    assert _rows(mid["accepted"], ["ent1", "ent2"]) == _rows(
+        inc1["accepted"], ["ent1", "ent2"]
+    )
+
+    # the loaded dict is live: the NEXT increment off it == off inc2...
+    # (covered at class level by test_compact_load_and_second_increment;
+    # here the cheap functional check is validate_kg all-zero)
+    from veealign_spark.operators import canonicalize
+
+    audit = {
+        r["invariant"]: r["violations"]
+        for r in canonicalize.validate_kg(
+            cold["clusters"], cold["accepted"], cold["kg_triples"],
+            cold["kg_entities"],
+        ).collect()
+    }
+    assert all(v == 0 for v in audit.values()), audit
+
+    # reference-aware retention: keep=1 would drop v1+v2, but v3
+    # references both -> nothing is reclaimable
+    assert expire_snapshots(root, keep=1) == []
+    assert list_versions(root) == [1, 2, 3]
+
+    # a FULL publish re-flattens; the old chain then expires together
+    publish_standing(spark, inc2, root)  # v4: full
+    assert current_version(root) == 4
+    assert sorted(expire_snapshots(root, keep=1)) == [1, 2, 3]
+    assert list_versions(root) == [4]
+    flat = load_standing(spark, root, verify=True)
+    assert _rows(flat["accepted"], ["ent1", "ent2"]) == _rows(
+        inc2["accepted"], ["ent1", "ent2"]
+    )
+
+
 def test_diff_versions_and_lineage(spark, src_frames, tmp_path):
     """diff_versions is the post-increment audit: the v1->v2 KG diff is
     exactly the increment's triple delta (all 'added' here — an

@@ -76,8 +76,24 @@ STANDING_SCALARS = ("threshold", "max_types", "vector_mode", "new_sources")
 MANIFEST = "manifest.json"
 
 # bumped on any incompatible snapshot-layout change; load_standing
-# refuses a mismatched snapshot instead of misreading it
+# refuses a mismatched snapshot instead of misreading it.
+# format 1: every table entry is a row count, files live under this
+#   snapshot's own table=<name>/ dir (full snapshot).
+# format 2: a table entry is {"rows": n, "paths": [root-relative
+#   dirs]} — an INCREMENTAL publish that references earlier versions'
+#   directories for the unchanged bulk and adds only a delta dir.
 FORMAT_VERSION = 1
+INCREMENTAL_FORMAT = 2
+SUPPORTED_FORMATS = (FORMAT_VERSION, INCREMENTAL_FORMAT)
+
+# tables whose rows belong to exactly one source (key "src"): an
+# increment only APPENDS new sources' rows to these (pinned by the
+# incremental==batch equality), so an incremental publish can ship
+# just the delta. These are the corpus-proportional tables — the ones
+# a full per-feed rewrite would make O(corpus) per publish.
+PER_SOURCE_TABLES = frozenset(
+    ("triples", "contexts", "features", "prop_contexts", "concepts", "props")
+)
 
 # versioned-root layout: root/v00001/, root/v00002/, ... + root/CURRENT
 # (a one-line pointer file naming the live version directory)
@@ -87,6 +103,28 @@ _VERSION_RE = re.compile(r"^v(\d{5})$")
 
 def _table_path(root: str, name: str) -> str:
     return os.path.join(root, f"table={name}")
+
+
+def _source_set(standing: dict) -> list[str]:
+    """The standing KG's source names, from the smallest per-source
+    table present (entity-level, never corpus-sized)."""
+    for name in ("concepts", "props", "triples"):
+        df = standing.get(name)
+        if df is not None and "src" in df.columns:
+            return sorted(
+                r["src"] for r in df.select("src").distinct().collect()
+            )
+    return []
+
+
+def _table_entry(root: str, vdir: str, manifest: dict, name: str):
+    """Resolve one manifest table entry to (abs_dirs, rows) across both
+    manifest formats; `root` is the published root (for root-relative
+    format-2 paths), `vdir` the snapshot's own directory."""
+    e = manifest["tables"][name]
+    if isinstance(e, dict):
+        return [os.path.join(root, p) for p in e["paths"]], e["rows"]
+    return [_table_path(vdir, name)], e
 
 
 def compact_standing(
@@ -125,6 +163,7 @@ def compact_standing(
             for k in STANDING_SCALARS
             if standing.get(k) is not None
         },
+        "sources": _source_set(standing),
         "created_at": time.time(),
         "format_version": FORMAT_VERSION,
     }
@@ -154,15 +193,17 @@ def load_standing(
     with open(os.path.join(snap_dir, MANIFEST)) as f:
         manifest = json.load(f)
     fv = manifest.get("format_version")
-    if fv != FORMAT_VERSION:
+    if fv not in SUPPORTED_FORMATS:
         raise ValueError(
             f"standing snapshot {snap_dir!r} has format_version {fv!r}; "
-            f"this reader supports {FORMAT_VERSION} — upgrade the reader "
-            "or recompact the snapshot with the matching writer"
+            f"this reader supports {SUPPORTED_FORMATS} — upgrade the "
+            "reader or recompact the snapshot with the matching writer"
         )
+    root = os.path.dirname(snap_dir)
     out: dict = {name: None for name in STANDING_TABLES}
-    for name, n_manifest in manifest["tables"].items():
-        df = spark.read.parquet(_table_path(snap_dir, name))
+    for name in manifest["tables"]:
+        dirs, n_manifest = _table_entry(root, snap_dir, manifest, name)
+        df = spark.read.parquet(*dirs)
         if verify:
             n = df.count()
             if n != n_manifest:
@@ -205,6 +246,7 @@ def publish_standing(
     root: str,
     tables: dict[str, str] | None = None,
     lineage: dict | None = None,
+    incremental: bool = False,
 ) -> dict:
     """Compact `standing` into the NEXT version directory under `root`
     and atomically flip the CURRENT pointer to it. The pointer flip is
@@ -216,8 +258,31 @@ def publish_standing(
     `lineage` is caller-supplied provenance recorded verbatim in the
     manifest (JSON-serializable: feed/batch ids, source names, commit)
     so each version stays attributable long after the feed moved on —
-    the streaming ingest loop records its epoch id here."""
+    the streaming ingest loop records its epoch id here.
+
+    With `incremental=True` and a CURRENT base version present, the
+    corpus-proportional per-source tables (PER_SOURCE_TABLES) are NOT
+    rewritten: only the rows of sources absent from the base are
+    written as a delta directory, and the manifest references the
+    base's directories for the standing bulk (format 2 — the Iceberg
+    append-commit analog). This is sound because `incremental_update`
+    only ever APPENDS new sources' rows to these tables (the
+    incremental==batch bit-equality pins it); the KG-sized match/graph
+    tables (accepted, clusters, kg_*, vocab) are rewritten in full as
+    before. Per-feed publish cost therefore scales with the INCREMENT
+    plus the KG, not the corpus — a full publish per feed would be
+    O(corpus) per feed and quadratic across a feed history. Readers
+    are unchanged (load_standing unions the referenced dirs);
+    `expire_snapshots` refuses to reclaim a version that a retained
+    manifest still references. Publish with incremental=False (the
+    default) to re-flatten a long reference chain into one full
+    snapshot, after which the chain becomes reclaimable — same rhythm
+    as Iceberg append commits + periodic rewrite_data_files."""
     os.makedirs(root, exist_ok=True)
+    base_version = current_version(root) if incremental else None
+    base_manifest = (
+        read_manifest(root, base_version) if base_version is not None else None
+    )
     version = (list_versions(root) or [0])[-1] + 1
     # claim the version directory atomically (mkdir is the lock): two
     # concurrent publishers each land on their own version instead of
@@ -231,7 +296,12 @@ def publish_standing(
             break
         except FileExistsError:
             version += 1
-    manifest = compact_standing(spark, standing, vdir, tables)
+    if base_manifest is None:
+        manifest = compact_standing(spark, standing, vdir, tables)
+    else:
+        manifest = _compact_incremental(
+            spark, standing, root, vdir, vname, base_manifest, tables
+        )
     manifest["version"] = version
     if lineage is not None:
         manifest["lineage"] = lineage
@@ -244,6 +314,75 @@ def publish_standing(
     return manifest
 
 
+def _compact_incremental(
+    spark: SparkSession,
+    standing: dict,
+    root: str,
+    vdir: str,
+    vname: str,
+    base_manifest: dict,
+    tables: dict[str, str] | None = None,
+) -> dict:
+    """Write the format-2 (delta) snapshot for publish_standing's
+    incremental path: per-source tables ship only new sources' rows and
+    reference the base version's dirs; everything else is rewritten."""
+    spec = tables or STANDING_TABLES
+    base_sources = base_manifest.get("sources") or []
+    base_vdir = os.path.join(root, f"v{base_manifest['version']:05d}")
+    written: dict[str, dict] = {}
+    for name, key in spec.items():
+        df = standing.get(name)
+        if df is None:
+            continue
+        delta_only = (
+            name in PER_SOURCE_TABLES
+            and name in base_manifest["tables"]
+            and "src" in df.columns
+        )
+        if delta_only:
+            out = df.filter(~F.col("src").isin(base_sources))
+            base_dirs, base_rows = _table_entry(
+                root, base_vdir, base_manifest, name
+            )
+            base_paths = [os.path.relpath(d, root) for d in base_dirs]
+        else:
+            out = df
+            base_paths, base_rows = [], 0
+        if key in out.columns:
+            out = out.repartition(F.col(key))
+        dpath = _table_path(vdir, name)
+        out.write.mode("overwrite").parquet(dpath)
+        if delta_only and not any(
+            n.startswith("part-") and n.endswith(".parquet")
+            for n in os.listdir(dpath)
+        ):
+            # no new sources for this table: reference the base only
+            # (an empty dir in a multi-path read is not loadable)
+            written[name] = {"rows": base_rows, "paths": base_paths}
+            continue
+        n_new = spark.read.parquet(dpath).count()
+        written[name] = {
+            # append-only invariant: total = base + delta, no corpus
+            # scan needed (load_standing verify=True re-counts the
+            # union against this, so a violated invariant is caught
+            # at the next verified read)
+            "rows": base_rows + n_new,
+            "paths": base_paths + [f"{vname}/table={name}"],
+        }
+    return {
+        "tables": written,
+        "scalars": {
+            k: standing.get(k)
+            for k in STANDING_SCALARS
+            if standing.get(k) is not None
+        },
+        "sources": _source_set(standing),
+        "base_version": base_manifest.get("version"),
+        "created_at": time.time(),
+        "format_version": INCREMENTAL_FORMAT,
+    }
+
+
 def expire_snapshots(root: str, keep: int = 2) -> list[int]:
     """Remove all but the newest `keep` versions under a published
     root; the version CURRENT points at is always retained regardless
@@ -254,14 +393,43 @@ def expire_snapshots(root: str, keep: int = 2) -> list[int]:
     version directory; CURRENT never points at it (the flip is the
     last step), root readers never resolve into it, and this sweep
     reclaims it once `keep` newer versions exist — at most the
-    newest-claimed dir can linger, bounded garbage of one directory."""
+    newest-claimed dir can linger, bounded garbage of one directory.
+
+    Incremental (format-2) versions reference earlier versions'
+    directories for their standing bulk, so retention is reference-
+    aware: a version still referenced (transitively) by any RETAINED
+    version is never removed, even when older than the keep window —
+    reclaiming it would tear every snapshot built on it. A full
+    (incremental=False) publish breaks the chain; after it ages past
+    the keep window, the whole chain becomes reclaimable at once."""
     if keep < 1:
         raise ValueError("expire_snapshots: keep must be >= 1")
     versions = list_versions(root)
     live = current_version(root)
+
+    # close the retained set over manifest references (newer -> older
+    # only, so one backwards sweep reaches the fixpoint)
+    retained = set(versions[-keep:] if keep < len(versions) else versions)
+    if live is not None:
+        retained.add(live)
+    for v in sorted(versions, reverse=True):
+        if v not in retained:
+            continue
+        mpath = os.path.join(root, f"v{v:05d}", MANIFEST)
+        if not os.path.exists(mpath):  # claimed-but-incomplete dir
+            continue
+        with open(mpath) as f:
+            m = json.load(f)
+        for e in m.get("tables", {}).values():
+            if isinstance(e, dict):
+                for p in e["paths"]:
+                    ref = _VERSION_RE.match(p.split(os.sep, 1)[0])
+                    if ref:
+                        retained.add(int(ref.group(1)))
+
     removed = []
-    for v in versions[:-keep] if keep < len(versions) else []:
-        if v == live:
+    for v in versions:
+        if v in retained:
             continue
         shutil.rmtree(os.path.join(root, f"v{v:05d}"))
         removed.append(v)
@@ -301,12 +469,14 @@ def diff_versions(
     when the distinct row set is unchanged."""
     if table not in STANDING_TABLES:
         raise ValueError(f"unknown standing table {table!r}")
-    paths = [
-        _table_path(os.path.join(root, f"v{v:05d}"), table)
-        for v in (v_old, v_new)
-    ]
-    old_df = spark.read.parquet(paths[0])
-    new_df = spark.read.parquet(paths[1])
+
+    def _read(v: int) -> DataFrame:
+        vdir = os.path.join(root, f"v{v:05d}")
+        dirs, _ = _table_entry(root, vdir, read_manifest(root, v), table)
+        return spark.read.parquet(*dirs)
+
+    old_df = _read(v_old)
+    new_df = _read(v_new)
     cols = old_df.columns
     return (
         new_df.exceptAll(old_df.select(*cols))

@@ -94,6 +94,7 @@ def stream_incremental_ingest(
     max_files_per_trigger: int = 1,
     publish_root: str | None = None,
     publish_keep: int | None = None,
+    publish_incremental: bool = False,
 ) -> dict:
     """Streaming bridge into the source-grain incremental plan: each
     micro-batch of landed transcript files is aligned against the
@@ -117,7 +118,11 @@ def stream_incremental_ingest(
     loop: feeds stream in, every accepted batch becomes a restartable
     cold-load point. A crash between batches loses only in-flight work;
     the stream checkpoint + the published CURRENT version together are
-    the resume state.
+    the resume state. `publish_incremental=True` makes each publish a
+    format-2 delta commit (per-source tables ship only the batch's new
+    sources; see plans.standing.publish_standing) — the corpus-flat
+    setting for a long-running feed; retention then holds referenced
+    base versions until a full publish re-flattens the chain.
 
     Returns {"standing": <final result dict>, "batches": n,
     "published_versions": [...]}."""
@@ -144,6 +149,7 @@ def stream_incremental_ingest(
                 state["standing"],
                 publish_root,
                 lineage={"stream_epoch": epoch_id, "batch": state["batches"]},
+                incremental=publish_incremental,
             )
             state["published_versions"].append(m["version"])
             if publish_keep is not None:
