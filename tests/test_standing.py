@@ -347,6 +347,31 @@ def test_incremental_publish_chain(spark, src_frames, tmp_path):
     )
 
 
+def test_incremental_publish_refuses_sourceless_base(
+    spark, src_frames, tmp_path
+):
+    """An incremental publish off a base manifest with no recorded
+    source set would silently duplicate the base's per-source rows
+    (the manifest count would still verify) — it must refuse."""
+    import json
+    import os
+
+    from veealign_spark.plans.standing import publish_standing
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    root = str(tmp_path / "pubroot")
+    publish_standing(spark, standing, root)
+    mpath = os.path.join(root, "v00001", "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["sources"]  # a pre-sources-field manifest
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="source set"):
+        publish_standing(spark, standing, root, incremental=True)
+
+
 def test_diff_versions_and_lineage(spark, src_frames, tmp_path):
     """diff_versions is the post-increment audit: the v1->v2 KG diff is
     exactly the increment's triple delta (all 'added' here — an

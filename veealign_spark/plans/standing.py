@@ -283,6 +283,13 @@ def publish_standing(
     base_manifest = (
         read_manifest(root, base_version) if base_version is not None else None
     )
+    if base_manifest is not None and not base_manifest.get("sources"):
+        # fail before claiming a version dir (no garbage on refusal);
+        # _compact_incremental re-checks as a backstop
+        raise ValueError(
+            "incremental publish needs a base manifest with a recorded "
+            "source set; republish once with incremental=False first"
+        )
     version = (list_versions(root) or [0])[-1] + 1
     # claim the version directory atomically (mkdir is the lock): two
     # concurrent publishers each land on their own version instead of
@@ -327,7 +334,16 @@ def _compact_incremental(
     incremental path: per-source tables ship only new sources' rows and
     reference the base version's dirs; everything else is rewritten."""
     spec = tables or STANDING_TABLES
-    base_sources = base_manifest.get("sources") or []
+    base_sources = base_manifest.get("sources")
+    if not base_sources:
+        # a pre-sources-field (or source-less) base: treating the full
+        # table as delta would silently DUPLICATE the base's rows in
+        # the union while the manifest count still verifies — refuse
+        # and ask for one full publish to establish a usable base
+        raise ValueError(
+            "incremental publish needs a base manifest with a recorded "
+            "source set; republish once with incremental=False first"
+        )
     base_vdir = os.path.join(root, f"v{base_manifest['version']:05d}")
     written: dict[str, dict] = {}
     for name, key in spec.items():
