@@ -372,6 +372,38 @@ def test_incremental_publish_refuses_sourceless_base(
         publish_standing(spark, standing, root, incremental=True)
 
 
+def test_incremental_publish_refuses_after_retraction(
+    spark, src_frames, tmp_path
+):
+    """The delta commit is append-only by contract: after a source
+    retraction the base dirs still hold the removed source's rows, so
+    an incremental publish must refuse (referencing them would
+    resurrect the source on cold load); a FULL publish is the
+    post-retraction path and its cold load is clean."""
+    from veealign_spark.plans.incremental import incremental_remove
+    from veealign_spark.plans.standing import publish_standing
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    inc = incremental_update(
+        spark, standing, new_triples=src_frames["inc3"], config=cfg
+    )
+    root = str(tmp_path / "pubroot")
+    publish_standing(spark, inc, root)
+
+    removed = incremental_remove(spark, inc, ["src3"], config=cfg)
+    with pytest.raises(ValueError, match="retraction"):
+        publish_standing(spark, removed, root, incremental=True)
+
+    # full publish after the removal: cold load carries no src3 rows
+    publish_standing(spark, removed, root)
+    cold = load_standing(spark, root, verify=True)
+    assert cold["triples"].filter(F.col("src") == "src3").count() == 0
+    assert _rows(cold["accepted"], ["ent1", "ent2"]) == _rows(
+        removed["accepted"], ["ent1", "ent2"]
+    )
+
+
 def test_diff_versions_and_lineage(spark, src_frames, tmp_path):
     """diff_versions is the post-increment audit: the v1->v2 KG diff is
     exactly the increment's triple delta (all 'added' here — an

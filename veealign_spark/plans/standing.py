@@ -290,6 +290,21 @@ def publish_standing(
             "incremental publish needs a base manifest with a recorded "
             "source set; republish once with incremental=False first"
         )
+    standing_sources = _source_set(standing) if base_manifest is not None else None
+    if base_manifest is not None:
+        # the delta commit is only sound while the feed APPENDS sources:
+        # after a retraction (incremental_remove) the base dirs still
+        # hold the removed source's per-source rows, and referencing
+        # them would silently resurrect it on the next cold load
+        gone = set(base_manifest["sources"]) - set(standing_sources)
+        if gone:
+            raise ValueError(
+                f"incremental publish after a retraction (sources "
+                f"{sorted(gone)} present in base v{base_manifest['version']} "
+                "but absent from the standing dict) would resurrect the "
+                "retracted rows from the referenced base directories; "
+                "publish with incremental=False after a removal"
+            )
     version = (list_versions(root) or [0])[-1] + 1
     # claim the version directory atomically (mkdir is the lock): two
     # concurrent publishers each land on their own version instead of
@@ -307,7 +322,8 @@ def publish_standing(
         manifest = compact_standing(spark, standing, vdir, tables)
     else:
         manifest = _compact_incremental(
-            spark, standing, root, vdir, vname, base_manifest, tables
+            spark, standing, root, vdir, vname, base_manifest, tables,
+            sources=standing_sources,
         )
     manifest["version"] = version
     if lineage is not None:
@@ -329,6 +345,7 @@ def _compact_incremental(
     vname: str,
     base_manifest: dict,
     tables: dict[str, str] | None = None,
+    sources: list[str] | None = None,
 ) -> dict:
     """Write the format-2 (delta) snapshot for publish_standing's
     incremental path: per-source tables ship only new sources' rows and
@@ -392,7 +409,7 @@ def _compact_incremental(
             for k in STANDING_SCALARS
             if standing.get(k) is not None
         },
-        "sources": _source_set(standing),
+        "sources": sources if sources is not None else _source_set(standing),
         "base_version": base_manifest.get("version"),
         "created_at": time.time(),
         "format_version": INCREMENTAL_FORMAT,
