@@ -297,6 +297,12 @@ def test_incremental_publish_chain(spark, src_frames, tmp_path):
     v3_delta = spark.read.parquet(os.path.join(root, "v00003/table=triples"))
     assert v3_delta.select("src").distinct().collect()[0]["src"] == "src4"
 
+    # the embedding cache is delta-committed too (append-only via the
+    # anti-join merge): the chain references v1's vocab and the total
+    # matches the live table
+    assert m3["tables"]["vocab"]["paths"][0] == "v00001/table=vocab"
+    assert m3["tables"]["vocab"]["rows"] == inc2["vocab"].count()
+
     # cold load of the root == the live dict, on every table class
     cold = load_standing(spark, root, verify=True)
     for name, cols in [
@@ -370,6 +376,35 @@ def test_incremental_publish_refuses_sourceless_base(
         json.dump(m, f)
     with pytest.raises(ValueError, match="source set"):
         publish_standing(spark, standing, root, incremental=True)
+
+
+def test_vocab_delta_falls_back_on_dropped_term(spark, src_frames, tmp_path):
+    """The vocab delta commit self-verifies: if any base term is gone
+    from the live table (append-only violated), the count check falls
+    back to a FULL vocab rewrite instead of publishing a delta that
+    would resurrect the dropped term from the base directories."""
+    from veealign_spark.plans.standing import publish_standing, read_manifest
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    root = str(tmp_path / "pubroot")
+    publish_standing(spark, standing, root)
+
+    n = standing["vocab"].count()
+    shrunk = dict(standing)
+    shrunk["vocab"] = standing["vocab"].limit(n - 5)
+    publish_standing(spark, shrunk, root, incremental=True)
+
+    m2 = read_manifest(root, 2)
+    # vocab: full rewrite (single path, under v2), correct count
+    assert m2["tables"]["vocab"]["paths"] == ["v00002/table=vocab"]
+    assert m2["tables"]["vocab"]["rows"] == n - 5
+    cold = load_standing(spark, root, verify=True)
+    assert cold["vocab"].count() == n - 5
+    # per-source tables still delta-committed: v1 stays the bulk (an
+    # empty delta dir may or may not materialize a 0-row part file)
+    assert m2["tables"]["triples"]["paths"][0] == "v00001/table=triples"
+    assert m2["tables"]["triples"]["rows"] == standing["triples"].count()
 
 
 def test_incremental_publish_refuses_after_retraction(

@@ -372,12 +372,44 @@ def _compact_incremental(
             and name in base_manifest["tables"]
             and "src" in df.columns
         )
+        vocab_delta = (
+            name == "vocab"
+            and name in base_manifest["tables"]
+            and "term" in df.columns
+        )
         if delta_only:
             out = df.filter(~F.col("src").isin(base_sources))
             base_dirs, base_rows = _table_entry(
                 root, base_vdir, base_manifest, name
             )
             base_paths = [os.path.relpath(d, root) for d in base_dirs]
+        elif vocab_delta:
+            # the embedding cache is also append-only (the S3 merge is
+            # anti-join + union: a term's vector never changes), and at
+            # real scale it is term-count x emb_dim — worth the same
+            # delta treatment. Unlike per-source tables the invariant
+            # is verified HERE, not assumed: the anti-join guarantees
+            # the delta is term-disjoint from the base, and the count
+            # check below falls back to a full rewrite if any base term
+            # was dropped or changed (vocab is small enough to count).
+            base_dirs, base_rows = _table_entry(
+                root, base_vdir, base_manifest, name
+            )
+            base_terms = (
+                spark.read.parquet(*base_dirs).select("term").distinct()
+            )
+            # no broadcast hint: at real scale base vocab is millions
+            # of terms; let AQE pick the join strategy
+            out = df.join(base_terms, "term", "left_anti")
+            if df.count() != base_rows + out.count():
+                # a base term vanished or duplicated: append-only does
+                # not hold for this feed — rewrite in full
+                vocab_delta = False
+                out = df
+                base_paths, base_rows = [], 0
+            else:
+                base_paths = [os.path.relpath(d, root) for d in base_dirs]
+            delta_only = vocab_delta
         else:
             out = df
             base_paths, base_rows = [], 0
