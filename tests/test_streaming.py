@@ -153,19 +153,27 @@ def test_stream_incremental_ingest_equals_batch(
     pub_root = str(tmp_path / "pubroot")
     state = sm.stream_incremental_ingest(
         spark, in_dir, standing, checkpoint=str(tmp_path / "ckpt"),
-        publish_root=pub_root, publish_keep=1,
+        publish_root=pub_root, publish_keep=1, publish_incremental=True,
     )
     assert state["batches"] == 2
-    # every accepted micro-batch published a snapshot version; keep=1
-    # retention left only the live one
+    # every accepted micro-batch published a snapshot version. With
+    # publish_incremental=True the FIRST publish is automatically full
+    # (no base yet) and the second is a format-2 delta commit off it;
+    # keep=1 retention then cannot reclaim v1 — the live v2 references
+    # its directories (reference-aware expire)
     from veealign_spark.plans.standing import (
         current_version,
         list_versions,
         load_standing,
+        read_manifest,
     )
 
     assert state["published_versions"] == [1, 2]
-    assert list_versions(pub_root) == [2] and current_version(pub_root) == 2
+    assert list_versions(pub_root) == [1, 2] and current_version(pub_root) == 2
+    m2 = read_manifest(pub_root)
+    assert m2["format_version"] == 2
+    assert m2["lineage"]["batch"] == 2
+    assert m2["tables"]["triples"]["paths"][0] == "v00001/table=triples"
 
     # baseline: one batch run over the SAME transcript corpus (standing
     # + both landed sources), so both sides share the extraction path
