@@ -20,6 +20,7 @@ All cosines are computed in float64 regardless of storage type.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,6 +33,63 @@ def _norm2(c):
     )
 
 
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow) pair scoring — bit-identical to the SQL fold.
+#
+# The aggregate/zip_with cosine is a CodegenFallback expression: every
+# element of every PAIR is evaluated interpreted. (An unrolled 64-term
+# arithmetic chain was tried first and is worse: it blows Janino's method
+# limit inside whole-stage codegen and the fallback evaluates a 400-node
+# nested tree per row.) The scalable form is guide §4.2: let the JVM do
+# scan/join/window, hand the pair batches to numpy. np.cumsum accumulates
+# strictly left-to-right in float64 — the same op order as the SQL fold —
+# and the trailing `+ 0.0` reproduces the fold's 0.0 seed on the -0.0
+# edge, so every float64 bit (dot, norms, cosine) matches the expression
+# path exactly (asserted against cosine_expr in tests).
+# ---------------------------------------------------------------------------
+
+
+def _vec2d(s, dim: int) -> "np.ndarray":
+    a = np.vstack(s.to_numpy())
+    return a.astype(np.float64) if a.dtype != np.float64 else a
+
+
+def _cos_pd(dim: int):
+    """pandas UDF: raw float64 cosine of two fixed-`dim` vectors,
+    bit-identical to cosine_expr (left-to-right folds, same greatest
+    clamp). Rounding stays JVM-side at the call site."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A, B = _vec2d(a, dim), _vec2d(b, dim)
+        dot = (A * B).cumsum(axis=1)[:, -1] + 0.0
+        na = np.sqrt((A * A).cumsum(axis=1)[:, -1] + 0.0)
+        nb = np.sqrt((B * B).cumsum(axis=1)[:, -1] + 0.0)
+        return pd.Series(dot / np.maximum(na * nb, 1e-12))
+
+    return cos
+
+
+def _pair_cosine(qv, cv, dim: int | None):
+    """Pair cosine Column: vectorized Arrow path when `dim` is known,
+    interpreted SQL fold otherwise. Same bits either way."""
+    if dim is None:
+        return cosine_expr(qv, cv)
+    return _cos_pd(dim)(qv, cv)
+
+
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin a narrowly-partitioned table across the cluster only
+    when scan parallelism is short (a small parquet corpus arrives as
+    one split; per-pair scoring work then serializes on one task). A
+    wide scan passes through untouched — no corpus-sized reshuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(par // 2, 2):
+        return df.repartition(par)
+    return df
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -39,19 +97,27 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbours of each query among the corpus
-    (self-matches excluded). Returns (query_id, neighbor_id, rank, cos)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    (self-matches excluded). Returns (query_id, neighbor_id, rank, cos).
+    Pass `dim` when the vector dimension is known: pair scoring then
+    runs vectorized over Arrow batches (same float64 bits), and the
+    nested-loop join streams the CORPUS side (parallel across its
+    partitions) while broadcasting the queries — the scale shape for
+    few-queries-vs-large-corpus."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    if dim is None:
+        pairs = q.crossJoin(c)
+    else:
+        pairs = _spread_if_narrow(c).crossJoin(F.broadcast(q))
     scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to))
+        pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(_pair_cosine(F.col("qv"), F.col("cv"), dim), round_to),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -70,6 +136,7 @@ def cosine_neardup_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (cos >= threshold) within blocks."""
     e = embeddings.select(
@@ -80,7 +147,10 @@ def cosine_neardup_blocked(
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), round_to))
+        .withColumn(
+            "cos",
+            F.round(_pair_cosine(F.col("va"), F.col("vb"), dim), round_to),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -105,6 +175,31 @@ def _bucket_expr(v, dim: int, n_planes: int, seed: int):
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
+
+
+def _buckets_pd(dim: int, n_planes: int, seeds: list[int]):
+    """pandas UDF: array of sign-bit bucket signatures (one per plane
+    set in `seeds`) for a fixed-`dim` vector column. Per-plane dots use
+    the same left-to-right float64 fold as _bucket_expr (np.cumsum), so
+    every sign bit — and therefore every bucket id — is identical to
+    the expression path; the work is vectorized instead of interpreted
+    per element per plane."""
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.stack([hyperplanes(dim, n_planes, s) for s in seeds])  # (T, P, D)
+    powers = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def buckets(v: pd.Series) -> pd.Series:
+        V = _vec2d(v, dim)
+        out = np.zeros((len(V), H.shape[0]), dtype=np.int64)
+        for t in range(H.shape[0]):
+            for j in range(n_planes):
+                dots = (V * H[t, j]).cumsum(axis=1)[:, -1]
+                out[:, t] += (dots > 0) * powers[j]
+        return pd.Series(list(out))
+
+    return buckets
 
 
 def lsh_hyperplane_buckets(
@@ -174,27 +269,21 @@ def lsh_candidates_multiprobe(
     tests/test_operators.py::test_lsh_multiprobe_recall_vs_cost."""
     pb = n_planes if probe_bits is None else probe_bits
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # all n_tables signatures in ONE projection + explode: the t-table
-    # union form rescanned the source once per table (and the q/c
-    # sides below each re-derive `home`, doubling that again — 2*t
+    # all n_tables signatures in ONE vectorized pass + posexplode: the
+    # t-table union form rescanned the source once per table (and the
+    # q/c sides below each re-derive `home`, doubling that again — 2*t
     # scans); here each side is a single scan whatever n_tables is,
-    # with identical (id, tbl, bucket) rows out
+    # with identical (id, tbl, bucket) rows out. Buckets come from the
+    # Arrow-batched signer (bit-identical sign bits, see _buckets_pd)
+    # instead of n_tables*n_planes interpreted fold expressions.
     home = e.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _bucket_expr(F.col("v"), dim, n_planes, seed + t).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(n_tables)
-                ]
+        F.posexplode(
+            _buckets_pd(dim, n_planes, [seed + t for t in range(n_tables)])(
+                F.col("v")
             )
-        ).alias("__tb"),
-    ).select("id", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"))
+        ).alias("tbl", "bucket"),
+    )
     probes = F.explode(
         F.array(
             F.col("bucket"),
@@ -244,7 +333,8 @@ def lsh_topk_multiprobe(
         max_bucket_size=max_bucket_size,
     )
     scored = cand.withColumn(
-        "cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to)
+        "cos",
+        F.round(_pair_cosine(F.col("qv"), F.col("cv"), dim), round_to),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -416,6 +506,7 @@ def ivf_topk_portable(
     engines' summation orders), probing and exact cosine identical to
     ivf_topk. Fully DuckDB-expressible -> hash-oracled."""
     spark = embeddings.sparkSession
+    dim = len(centroids[0]) if len(centroids) else None
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     centers_df = F.broadcast(
         spark.createDataFrame(
@@ -445,7 +536,10 @@ def ivf_topk_portable(
         # multi-probe dedup aggregate and the top-k window below
         .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to))
+        .withColumn(
+            "cos",
+            F.round(_pair_cosine(F.col("qv"), F.col("cv"), dim), round_to),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -476,10 +570,17 @@ def lsh_topk(
     # bucket computed ALONGSIDE the vector in one projection — the old
     # form joined embeddings back to lsh_hyperplane_buckets on id, a
     # self-join (shuffle + second scan) just to re-attach the vector
+    # bucket computed ALONGSIDE the vector in one projection — the old
+    # form joined embeddings back to lsh_hyperplane_buckets on id, a
+    # self-join (shuffle + second scan) just to re-attach the vector.
+    # Signatures come from the Arrow-batched signer (bit-identical
+    # sign bits, see _buckets_pd) instead of n_planes interpreted folds.
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        _bucket_expr(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        F.element_at(
+            _buckets_pd(dim, n_planes, [seed])(F.col(vec_col)), 1
+        ).alias("bucket"),
     )
     a = e.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket")
     c = e.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
@@ -488,7 +589,10 @@ def lsh_topk(
     scored = (
         a.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine_expr(F.col("qv"), F.col("cv")), round_to))
+        .withColumn(
+            "cos",
+            F.round(_pair_cosine(F.col("qv"), F.col("cv"), dim), round_to),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

