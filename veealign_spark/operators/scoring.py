@@ -593,32 +593,39 @@ def score_concept_candidates_fast(
     )
     nodes = encode_node_idx(cand_keys, emb_idx, label_map)
     f = enc_features.select("key", "node_idx", "fidx")
+    # one per-key dim table (direct node idx + encoded features) joined
+    # once per side — the 4-join form built the `nodes` subtree (a
+    # distinct + normalize + broadcast join) TWICE and paid 4 broadcast
+    # builds per scorer; nodes covers every candidate endpoint, so the
+    # merged left join carries identical (n, fidx, d) values. The lazy
+    # localCheckpoint shares one computation between both side joins.
+    dim = (
+        nodes.select("key", F.col("node_idx").alias("d"))
+        .join(
+            f.select("key", F.col("node_idx").alias("n"), "fidx"),
+            "key",
+            "left",
+        )
+        .localCheckpoint(eager=False)
+    )
     j = (
         candidates.join(
-            f.select(
+            dim.select(
                 F.col("key").alias("ent1"),
-                F.col("node_idx").alias("n1"),
+                F.col("n").alias("n1"),
                 F.col("fidx").alias("f1"),
+                F.col("d").alias("d1"),
             ),
             "ent1",
             "left",
         )
         .join(
-            f.select(
+            dim.select(
                 F.col("key").alias("ent2"),
-                F.col("node_idx").alias("n2"),
+                F.col("n").alias("n2"),
                 F.col("fidx").alias("f2"),
+                F.col("d").alias("d2"),
             ),
-            "ent2",
-            "left",
-        )
-        .join(
-            nodes.select(F.col("key").alias("ent1"), F.col("node_idx").alias("d1")),
-            "ent1",
-            "left",
-        )
-        .join(
-            nodes.select(F.col("key").alias("ent2"), F.col("node_idx").alias("d2")),
             "ent2",
             "left",
         )
@@ -742,34 +749,38 @@ def score_prop_candidates_fast(
         .distinct()
     )
     nodes = encode_node_idx(cand_keys, emb_idx, label_map)
+    # merged per-key dim table, one join per side (see the concept
+    # scorer note): nodes covers every candidate endpoint, so values
+    # are identical to the old 4-join form
+    dim = (
+        nodes.select("key", F.col("node_idx").alias("d"))
+        .join(
+            enc_props.select("key", "self_idx", "dom_idx", "rng_idx"),
+            "key",
+            "left",
+        )
+        .localCheckpoint(eager=False)
+    )
     j = (
         candidates.join(
-            enc_props.select(
+            dim.select(
                 F.col("key").alias("ent1"),
                 F.col("self_idx").alias("s1"),
                 F.col("dom_idx").alias("dm1"),
                 F.col("rng_idx").alias("r1"),
+                F.col("d").alias("d1"),
             ),
             "ent1",
             "left",
         )
         .join(
-            enc_props.select(
+            dim.select(
                 F.col("key").alias("ent2"),
                 F.col("self_idx").alias("s2"),
                 F.col("dom_idx").alias("dm2"),
                 F.col("rng_idx").alias("r2"),
+                F.col("d").alias("d2"),
             ),
-            "ent2",
-            "left",
-        )
-        .join(
-            nodes.select(F.col("key").alias("ent1"), F.col("node_idx").alias("d1")),
-            "ent1",
-            "left",
-        )
-        .join(
-            nodes.select(F.col("key").alias("ent2"), F.col("node_idx").alias("d2")),
             "ent2",
             "left",
         )

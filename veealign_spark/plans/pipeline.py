@@ -370,27 +370,39 @@ def run_pipeline(
     else:
         triples = ledger.stage("triples", lambda t=triples: t)
 
-    ctx = ledger.stage(
-        "contexts",
-        lambda: contexts.build_contexts(
-            triples,
-            bag_of_neighbours=cfg.bag_of_neighbours,
-            max_pathlen=cfg.max_pathlen,
-        ),
-    )
-    if cfg.derive_types:
-        # A5 (data_preprocessing.py:318): global max # of non-empty
-        # neighbour types; the kernel's type-mixing weights resize to
-        # match (K7 branch, train.py:256-264)
-        cfg.max_types = max(contexts.derive_max_types(ctx), 1)
-        params = cfg.kernel_params()
-    features = ledger.stage(
-        "features",
-        lambda: contexts.assemble_features(
-            ctx, cfg.max_types, cfg.max_paths, cfg.max_pathlen
-        ),
-    )
-    prop_ctx = ledger.stage("prop_contexts", lambda: contexts.build_prop_contexts(triples))
+    # prop_contexts depends only on triples — overlap it with the
+    # contexts -> features chain (independent jobs back-fill the
+    # executors each other's stage tails leave idle, guide-style
+    # concurrent submission; stage identity/resume semantics unchanged)
+    from concurrent.futures import ThreadPoolExecutor as _TPE2
+
+    with _TPE2(1) as _bg:
+        _f_prop = _bg.submit(
+            ledger.stage,
+            "prop_contexts",
+            lambda: contexts.build_prop_contexts(triples),
+        )
+        ctx = ledger.stage(
+            "contexts",
+            lambda: contexts.build_contexts(
+                triples,
+                bag_of_neighbours=cfg.bag_of_neighbours,
+                max_pathlen=cfg.max_pathlen,
+            ),
+        )
+        if cfg.derive_types:
+            # A5 (data_preprocessing.py:318): global max # of non-empty
+            # neighbour types; the kernel's type-mixing weights resize to
+            # match (K7 branch, train.py:256-264)
+            cfg.max_types = max(contexts.derive_max_types(ctx), 1)
+            params = cfg.kernel_params()
+        features = ledger.stage(
+            "features",
+            lambda: contexts.assemble_features(
+                ctx, cfg.max_types, cfg.max_paths, cfg.max_pathlen
+            ),
+        )
+        prop_ctx = _f_prop.result()
 
     derived_dims = concepts is None
     if concepts is None:
@@ -492,7 +504,17 @@ def run_pipeline(
         "clusters", lambda: canonicalize.connected_components(accepted)
     )
     kg = canonicalize.materialize_kg(triples, clusters)
-    kg = {k: ledger.stage(k, lambda df=v: df) for k, v in kg.items()}
+    # the three kg_* materializations are independent KG-sized jobs —
+    # submit them concurrently instead of paying three sequential
+    # job latencies
+    from concurrent.futures import ThreadPoolExecutor as _TPE3
+
+    with _TPE3(3) as _ex:
+        _fs = {
+            k: _ex.submit(ledger.stage, k, lambda df=v: df)
+            for k, v in kg.items()
+        }
+        kg = {k: f.result() for k, f in _fs.items()}
 
     ledger.flush()
     return {

@@ -132,9 +132,19 @@ def extract_mentions_pandas(transcripts: DataFrame) -> DataFrame:
 def mentions_to_triples(mentions: DataFrame) -> DataFrame:
     """Mentions -> canonical deduplicated triple table (A7 dedup,
     reference ontology.py:128 list(set(...)); P3 Thing filter,
-    ontology.py:205)."""
+    ontology.py:205).
+
+    The dedup runs FIRST, on the bare (src, subj, pred, obj) key:
+    `kind` is a pure function of `pred` and the Thing/null filter a
+    pure predicate on the key columns, so deriving them after the
+    aggregate touches |distinct triples| rows instead of |mentions| —
+    at 10^12 turns that removes two string expressions and a fifth
+    grouping column from every corpus row, with an identical result
+    set (the filter commutes with the row-local dedup; kind adds no
+    distinctions beyond pred)."""
     return (
         mentions.select("src", "subj", "pred", "obj")
+        .dropDuplicates()
         .withColumn("kind", kind_expr())
         .filter(
             (F.col("subj") != "Thing")
@@ -142,5 +152,4 @@ def mentions_to_triples(mentions: DataFrame) -> DataFrame:
             & F.col("subj").isNotNull()
             & F.col("obj").isNotNull()
         )
-        .dropDuplicates(["src", "subj", "pred", "obj", "kind"])
     )
