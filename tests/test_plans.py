@@ -127,3 +127,36 @@ def test_multiprobe_executed_plan_single_scan_per_side(spark):
     hps = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert any("query_id" in ln for ln in hps), plan
     assert not any("neighbor_id" in ln for ln in hps), hps
+
+
+def test_minhash_uncapped_reuses_signature_exchange(spark):
+    """The uncapped LSH self-join's two sides are identical subplans:
+    ReuseExchange must serve both from ONE shingle+min-hash pass (the
+    r6 reason the localCheckpoint there was dropped)."""
+    from veealign_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = dedup.minhash_lsh_pairs(docs, n_bands=8)
+    plan = _executed_plan(q)
+    assert "ReusedExchange" in plan, plan
+
+
+def test_simhash_no_repartition_when_scan_is_wide(spark):
+    """A corpus whose scan parallelism already matches the cluster must
+    not be reshuffled before simhash's map-side-combinable aggregate
+    (VERDICT r5 item #4): the only Exchanges are the aggregate's own."""
+    from veealign_spark.operators import dedup
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .repartition(max(par, 4))
+        .localCheckpoint(eager=True)  # pin the wide partitioning as input
+    )
+    q = dedup.simhash_fingerprints(docs, n_bits=16)
+    plan = _executed_plan(q)
+    # two aggregate exchanges ((doc,bit) then doc) — and nothing else:
+    # no round-robin/hash repartition of the input corpus
+    assert "RoundRobinPartitioning" not in plan, plan
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 4, plan  # initial+final AQE prints; no extra input shuffle

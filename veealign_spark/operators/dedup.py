@@ -142,16 +142,19 @@ def minhash_lsh_pairs(
     aggregation of the signature table itself, co-partitioned with the
     join key, so the guard adds no extra shuffle of the big side (the
     census can be corpus-bucket-sized — never broadcast it)."""
-    # materialize the signature table once: the bucket self-join reads
-    # it on BOTH sides within one job, where a lazy cache cannot help —
-    # each side would re-run the shingle explode + min-hash agg over
-    # the full corpus. The signature table is n_bands rows/doc of
-    # ~50 bytes — tiny next to the text it summarizes — so this is the
-    # right materialization at 100 TB too (compute-once, join-twice).
-    sig = minhash_signatures(documents, n_bands, shingle_n).localCheckpoint(
-        eager=True
-    )
+    # Materialization policy (measured, r6): the UNCAPPED self-join's
+    # two sides are identical subplans, so Spark's ReuseExchange serves
+    # both from ONE shingle+min-hash computation and one shuffle —
+    # plan-asserted in tests; a localCheckpoint there only added a
+    # blocking job. The CAPPED path references the signature table four
+    # ways (census, small a/b, star) where exchange reuse is partial
+    # and recompute measured ~2x slower — it keeps the eager
+    # checkpoint (signature table is n_bands rows/doc of ~50 bytes,
+    # tiny next to the text it summarizes, so the materialization is
+    # right at 100 TB too).
+    sig = minhash_signatures(documents, n_bands, shingle_n)
     if max_bucket_size:
+        sig = sig.localCheckpoint(eager=True)
         stats = (
             sig.groupBy("band", "minhash")
             .agg(
@@ -196,27 +199,35 @@ def simhash_fingerprints(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     """Per-doc SimHash: bit j votes +1/-1 per distinct token by parity
     of hex char j of md5(token); fingerprint = sum of set bits << j.
 
-    Shape: ONE token explode, ONE groupBy(doc_id) with n_bits vote-sum
-    columns, fingerprint assembled in the final projection. (The old
-    form exploded a bit index per token — n_bits-x the rows — and paid
-    a second aggregate over (doc, bit); it also repartitioned the
-    corpus unconditionally before a map-side-combinable aggregate.
-    All arithmetic is integer, so fingerprints are unchanged.)"""
+    The two-level explode+aggregate form is kept deliberately: a
+    single-aggregate variant with n_bits per-bit sum columns measured
+    ~2x SLOWER (interleaved min-of-5) — the wide aggregation buffer
+    costs more than the bit-explode that partial aggregation collapses
+    in-task. The corpus repartition is conditional (guard shared with
+    doc_shingles): only a narrow scan is spread, a wide corpus is
+    never reshuffled before this map-side-combinable aggregate."""
     docs = _spread_if_narrow(documents)
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"),
-    ).select("doc_id", F.md5("tok").alias("h"))
-    vote = lambda j: (F.ascii(F.substring(F.col("h"), j + 1, 1)) % 2) * 2 - 1  # noqa: E731
-    sums = [F.sum(vote(j)).alias(f"__s{j}") for j in range(n_bits)]
-    fp = None
-    for j in range(n_bits):
-        bitval = F.when(F.col(f"__s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
+        F.md5("tok").alias("h"),
+    ).withColumn(
+        "vote",
+        (F.ascii(F.substring(F.col("h"), F.col("bit") + 1, 1)) % 2) * 2 - 1,
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0)),
         )
-        fp = bitval if fp is None else fp + bitval
-    return toks.groupBy("doc_id").agg(*sums).select(
-        "doc_id", fp.alias("simhash")
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
     )
 
 
