@@ -644,3 +644,95 @@ def test_threaded_publish_never_tears_a_reader(spark, src_frames, tmp_path):
     assert (
         load_standing(spark, root, verify=True)["accepted"].count() == n_inc
     )
+
+
+def test_expire_grace_window_spares_recent_claims(spark, src_frames, tmp_path):
+    """A manifest-less version dir is a publisher's claim: a RECENT one
+    may be a slow concurrent publisher mid-write and must survive the
+    retention sweep; one older than the grace window is crash garbage
+    and is reclaimed (ADVICE r5)."""
+    import os
+
+    from veealign_spark.plans.standing import expire_snapshots, publish_standing
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    root = str(tmp_path / "pubroot")
+    for _ in range(3):
+        publish_standing(spark, standing, root)
+
+    fresh = os.path.join(root, "v00004")
+    os.makedirs(fresh)  # in-flight concurrent publisher
+    stale = os.path.join(root, "v00005")
+    os.makedirs(stale)  # crashed publisher, long dead
+    os.utime(stale, (1, 1))
+    # two more publishes age the claims out of the keep window
+    publish_standing(spark, standing, root)
+    publish_standing(spark, standing, root)
+
+    removed = expire_snapshots(root, keep=2)
+    assert 5 in removed and not os.path.exists(stale)
+    assert 4 not in removed and os.path.exists(fresh)
+    # grace 0 = old behaviour: every unreferenced claim is garbage
+    removed2 = expire_snapshots(root, keep=2, claim_grace_sec=0)
+    assert 4 in removed2 and not os.path.exists(fresh)
+
+
+def test_torn_publish_is_invisible_and_recoverable(spark, src_frames, tmp_path):
+    """Publisher killed between the table writes and the CURRENT flip:
+    the orphan version is invisible to root readers, the next publish
+    claims a fresh version, and retention eventually reclaims the
+    orphan (VERDICT r5 next-round item #5)."""
+    import os
+
+    from veealign_spark.plans.standing import (
+        current_version,
+        expire_snapshots,
+        publish_standing,
+    )
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    root = str(tmp_path / "pubroot")
+    publish_standing(spark, standing, root)
+
+    # simulate the torn publish: tables fully written at v2, no flip
+    v2 = os.path.join(root, "v00002")
+    compact_standing(spark, standing, v2)
+    os.remove(os.path.join(v2, "manifest.json"))
+    assert current_version(root) == 1
+    assert load_standing(spark, root, verify=True)["accepted"].count() == \
+        standing["accepted"].count()
+
+    # restarted publisher claims a FRESH version (v3), never reuses v2
+    m = publish_standing(spark, standing, root)
+    assert m["version"] == 3 and current_version(root) == 3
+    # the orphan ages out and is reclaimed
+    os.utime(v2, (1, 1))
+    assert 2 in expire_snapshots(root, keep=1)
+    assert not os.path.exists(v2)
+    assert load_standing(spark, root, verify=True)["accepted"] is not None
+
+
+def test_vocab_delta_requires_matching_vector_mode(spark, src_frames, tmp_path):
+    """A standing dict rebuilt under a different vector layout keeps
+    the term set while every vector changes — the delta guards only
+    terms, so the publish must fall back to a FULL vocab rewrite on a
+    vector_mode mismatch (ADVICE r5, medium)."""
+    from veealign_spark.plans.standing import publish_standing, read_manifest
+
+    cfg = PipelineConfig(blocking="blocked")
+    standing = run_pipeline(spark, triples=src_frames["base"], config=cfg)
+    root = str(tmp_path / "pubroot")
+    publish_standing(spark, standing, root)
+
+    relabeled = dict(standing)
+    relabeled["vector_mode"] = "prejoined"  # layout changed, terms kept
+    publish_standing(spark, relabeled, root, incremental=True)
+    m2 = read_manifest(root, 2)
+    assert m2["tables"]["vocab"]["paths"] == ["v00002/table=vocab"]
+
+    # unchanged vector_mode still delta-commits the vocab
+    publish_standing(spark, relabeled, root, incremental=True)
+    m3 = read_manifest(root, 3)
+    assert m3["tables"]["vocab"]["paths"][0].startswith("v00002/")

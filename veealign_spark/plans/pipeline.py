@@ -236,11 +236,16 @@ def score_candidates_stage(
             # the probe already paid (corpus-sized at 10^12 turns)
             tu = scoring.term_universe(triples, concepts, label_map).persist()
             owns_tu = True
-        head = tu.limit(cap + 1).collect()
+        # Arrow transfer for the probe: up to cap+1 terms move as one
+        # Arrow batch instead of py4j Row objects (the bounded-collect
+        # guarantee is unchanged — limit() still caps what can ever
+        # reach the driver; at the 300k-term threshold this is the
+        # difference between ~0.3s and several seconds)
+        head = tu.limit(cap + 1).toPandas()["term"].tolist()
         if len(head) <= cap:
             vector_mode = "broadcast"
             emb_bc = scoring.EmbBroadcast.from_terms(
-                spark, [r["term"] for r in head], cfg.emb_dim,
+                spark, head, cfg.emb_dim,
                 external=external,
             )
         elif cfg.vector_mode == "broadcast":

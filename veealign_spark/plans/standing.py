@@ -186,6 +186,9 @@ def load_standing(
     `compact_standing`) or a versioned root (as written by
     `publish_standing`) — a root is recognized by its CURRENT pointer
     and resolved to the live version before reading."""
+    # a trailing separator would make dirname() below return the vdir
+    # itself and mis-resolve root-relative format-2 paths (ADVICE r5)
+    snap_dir = os.path.normpath(snap_dir)
     cur = os.path.join(snap_dir, CURRENT)
     if os.path.exists(cur):
         with open(cur) as f:
@@ -376,13 +379,24 @@ def _compact_incremental(
             name == "vocab"
             and name in base_manifest["tables"]
             and "term" in df.columns
+            # the anti-join/count guard below only catches dropped or
+            # duplicated TERMS; a standing dict rebuilt under a
+            # different vector layout keeps the term set while every
+            # vector changes, and the delta would silently serve the
+            # base's stale vectors on cold load (ADVICE r5) — require
+            # the base's vector_mode to match, else rewrite in full
+            and base_manifest.get("scalars", {}).get("vector_mode")
+            == standing.get("vector_mode")
         )
         if delta_only:
             out = df.filter(~F.col("src").isin(base_sources))
             base_dirs, base_rows = _table_entry(
                 root, base_vdir, base_manifest, name
             )
-            base_paths = [os.path.relpath(d, root) for d in base_dirs]
+            base_paths = [
+                os.path.relpath(d, root).replace(os.sep, "/")
+                for d in base_dirs
+            ]
         elif vocab_delta:
             # the embedding cache is also append-only (the S3 merge is
             # anti-join + union: a term's vector never changes), and at
@@ -408,7 +422,10 @@ def _compact_incremental(
                 out = df
                 base_paths, base_rows = [], 0
             else:
-                base_paths = [os.path.relpath(d, root) for d in base_dirs]
+                base_paths = [
+                os.path.relpath(d, root).replace(os.sep, "/")
+                for d in base_dirs
+            ]
             delta_only = vocab_delta
         else:
             out = df
@@ -448,7 +465,9 @@ def _compact_incremental(
     }
 
 
-def expire_snapshots(root: str, keep: int = 2) -> list[int]:
+def expire_snapshots(
+    root: str, keep: int = 2, claim_grace_sec: float = 900.0
+) -> list[int]:
     """Remove all but the newest `keep` versions under a published
     root; the version CURRENT points at is always retained regardless
     of age (expiring the live snapshot is never maintenance). Returns
@@ -488,15 +507,29 @@ def expire_snapshots(root: str, keep: int = 2) -> list[int]:
         for e in m.get("tables", {}).values():
             if isinstance(e, dict):
                 for p in e["paths"]:
-                    ref = _VERSION_RE.match(p.split(os.sep, 1)[0])
+                    ref = _VERSION_RE.match(p.split("/", 1)[0])
                     if ref:
                         retained.add(int(ref.group(1)))
 
     removed = []
+    now = time.time()
     for v in versions:
         if v in retained:
             continue
-        shutil.rmtree(os.path.join(root, f"v{v:05d}"))
+        vdir = os.path.join(root, f"v{v:05d}")
+        if not os.path.exists(os.path.join(vdir, MANIFEST)):
+            # manifest-less = claimed by a publisher that has not (yet)
+            # finished. A RECENT claim may be a slow concurrent
+            # publisher mid-write — reclaiming it would rmtree its
+            # in-flight tables (ADVICE r5); only claims older than the
+            # grace window are treated as crash garbage.
+            try:
+                age = now - os.path.getmtime(vdir)
+            except OSError:
+                continue
+            if age < claim_grace_sec:
+                continue
+        shutil.rmtree(vdir)
         removed.append(v)
     return removed
 
@@ -542,12 +575,15 @@ def diff_versions(
 
     old_df = _read(v_old)
     new_df = _read(v_new)
+    # exceptAll resolves columns positionally — project BOTH sides to
+    # one explicit column order so parquet column-order drift between
+    # versions cannot misalign the diff (ADVICE r5)
     cols = old_df.columns
     return (
-        new_df.exceptAll(old_df.select(*cols))
+        new_df.select(*cols).exceptAll(old_df.select(*cols))
         .withColumn("change", F.lit("added"))
         .unionByName(
-            old_df.exceptAll(new_df.select(*cols)).withColumn(
+            old_df.select(*cols).exceptAll(new_df.select(*cols)).withColumn(
                 "change", F.lit("removed")
             )
         )
