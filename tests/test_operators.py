@@ -557,3 +557,50 @@ def test_cross_corpus_contamination(spark):
     got = {r["doc_id"]: r["n_shared"]
            for r in dedup.cross_corpus_contamination(train, bench, n=3, min_shared=2).collect()}
     assert got == {1: 2, 3: 3}, got
+
+
+def test_distributed_cc_giant_component_stress(spark):
+    """VERDICT r5 #6: a >500k-edge SINGLE component (long chain + Zipf
+    hubs) forces the distributed pointer-jumping path through the
+    public connected_components API; convergence must stay within
+    log2(diameter)+c rounds and the labeling must equal the driver
+    union-find exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from veealign_spark.operators import canonicalize
+
+    chain_n = 4096
+    leaves = 500_000
+    chain = spark.range(chain_n - 1).select(
+        F.format_string("n%07d", F.col("id")).alias("ent1"),
+        F.format_string("n%07d", F.col("id") + 1).alias("ent2"),
+    )
+    # Zipf-ish hubs: leaf j hangs off hub floor(log2(j+2)) % 12 — the
+    # top octave puts ~half the leaves on one hub (the skew hazard)
+    hub = F.pmod(F.floor(F.log2(F.col("id") + 2)).cast("int"), F.lit(12))
+    leaf_edges = spark.range(leaves).select(
+        F.format_string("l%07d", F.col("id")).alias("ent1"),
+        F.format_string("h%02d", hub).alias("ent2"),
+    )
+    hub_anchor = spark.range(12).select(
+        F.format_string("h%02d", F.col("id")).alias("ent1"),
+        F.format_string("n%07d", F.col("id")).alias("ent2"),
+    )
+    edges = chain.unionByName(leaf_edges).unionByName(hub_anchor)
+    n_edges = edges.count()
+    assert n_edges > 500_000  # over the driver_threshold -> distributed path
+
+    # round bound: pointer jumping doubles reach per round —
+    # log2(4096) + slack must suffice (max_iter exhaustion raises)
+    max_rounds = int(math.log2(chain_n)) + 4
+    cc = canonicalize.connected_components(edges, max_iter=max_rounds)
+    # single component, canon = global min entity (h00 < l... < n...)
+    canons = cc.select("canon_id").distinct().collect()
+    assert [r["canon_id"] for r in canons] == ["h00"]
+    assert cc.count() == chain_n + leaves + 12
+
+    # equality with the driver union-find on the same edges
+    uf = canonicalize._driver_union_find(edges)
+    assert cc.exceptAll(uf).count() == 0 and uf.exceptAll(cc).count() == 0
