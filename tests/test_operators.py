@@ -604,3 +604,47 @@ def test_distributed_cc_giant_component_stress(spark):
     # equality with the driver union-find on the same edges
     uf = canonicalize._driver_union_find(edges)
     assert cc.exceptAll(uf).count() == 0 and uf.exceptAll(cc).count() == 0
+
+
+def test_arrow_cosine_and_buckets_bit_equal_sql_fold(spark):
+    """The r6 vectorized pair scorer and LSH signer must reproduce the
+    SQL fold bit-for-bit: np.cumsum is the same left-to-right float64
+    accumulation, and the trailing +0.0 matches the fold's 0.0 seed on
+    the -0.0 edge. Exact equality, no tolerance."""
+    import numpy as _np
+
+    from veealign_spark.functions.text_norm import cosine_expr
+
+    rng = _np.random.default_rng(99)
+    dim, n = 64, 400
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(dim).astype(_np.float32)])
+        for i in range(n)
+    ]
+    # include exact-zero and negative-zero elements to stress the edge
+    rows[0] = (0, [0.0] * dim)
+    rows[1] = (1, [-0.0] * dim)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = emb.alias("a").join(
+        emb.alias("b"), F.col("a.vec_id") == (F.col("b.vec_id") + 7) % n
+    )
+    ref = pairs.select(
+        F.col("a.vec_id").alias("id"),
+        cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+    ).toPandas().sort_values("id")
+    got = pairs.select(
+        F.col("a.vec_id").alias("id"),
+        ann._cos_pd(dim)(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+    ).toPandas().sort_values("id")
+    ra, ga = ref["c"].to_numpy(), got["c"].to_numpy()
+    assert (ra == ga).all()  # bitwise-equal values (incl. signs of zero)
+    assert (_np.signbit(ra) == _np.signbit(ga)).all()
+
+    bref = emb.select(
+        "vec_id", ann._bucket_expr(F.col("embedding"), dim, 10, 11).alias("b")
+    ).toPandas().sort_values("vec_id")
+    bgot = emb.select(
+        "vec_id",
+        F.element_at(ann._buckets_pd(dim, 10, [11])(F.col("embedding")), 1).alias("b"),
+    ).toPandas().sort_values("vec_id")
+    assert (bref["b"].to_numpy() == bgot["b"].to_numpy()).all()
