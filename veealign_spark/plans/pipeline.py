@@ -281,27 +281,25 @@ def score_candidates_stage(
     # the 100 TB layout): int64 index tensors on the broadcast path,
     # pre-joined float64 vectors on the distributed-vocabulary path.
     # Entity-universe-sized dim tables, referenced twice each in the
-    # scoring joins — materialize once.
+    # scoring joins — LAZY localCheckpoints: the RDD identity shares
+    # one computation between both references, materialized inside the
+    # scores job itself (the r5 eager+threaded form paid two extra
+    # driver jobs for the same work; the scheduler already runs the
+    # two independent subtrees' stages concurrently within one job).
     t0 = time.time()
-    # the two dim-table materializations are independent tiny jobs —
-    # submit them concurrently (Spark schedulers accept jobs from
-    # multiple driver threads; this halves the fixed job latency)
-    from concurrent.futures import ThreadPoolExecutor
 
-    def _eager(df):
-        return df.localCheckpoint(eager=True)
+    def _ckpt(df):
+        return df.localCheckpoint(eager=False)
 
     if vector_mode == "broadcast":
         emb_idx = scoring.emb_index_df(spark, emb_bc)
-        with ThreadPoolExecutor(2) as _ex:
-            _f = _ex.submit(_eager, scoring.encode_features(
-                features, emb_idx, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
-                label_map=label_map,
-            ))
-            _p = _ex.submit(_eager, scoring.encode_prop_contexts(
-                prop_ctx, emb_idx, label_map=label_map
-            ))
-            enc_feats, enc_props = _f.result(), _p.result()
+        enc_feats = _ckpt(scoring.encode_features(
+            features, emb_idx, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
+            label_map=label_map,
+        ))
+        enc_props = _ckpt(scoring.encode_prop_contexts(
+            prop_ctx, emb_idx, label_map=label_map
+        ))
         scores_c = scoring.score_concept_candidates_fast(
             candidates_df, enc_feats, emb_bc, params, cfg.max_types,
             label_map=label_map,
@@ -310,15 +308,13 @@ def score_candidates_stage(
             prop_cand, enc_props, emb_bc, params, label_map=label_map
         ).withColumn("is_prop", F.lit(True))
     else:
-        with ThreadPoolExecutor(2) as _ex:
-            _f = _ex.submit(_eager, scoring.encode_features_vec(
-                features, emb_table, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
-                dim=cfg.emb_dim, label_map=label_map,
-            ))
-            _p = _ex.submit(_eager, scoring.encode_prop_contexts_vec(
-                prop_ctx, emb_table, dim=cfg.emb_dim, label_map=label_map
-            ))
-            enc_feats, enc_props = _f.result(), _p.result()
+        enc_feats = _ckpt(scoring.encode_features_vec(
+            features, emb_table, cfg.max_types, cfg.max_paths, cfg.max_pathlen,
+            dim=cfg.emb_dim, label_map=label_map,
+        ))
+        enc_props = _ckpt(scoring.encode_prop_contexts_vec(
+            prop_ctx, emb_table, dim=cfg.emb_dim, label_map=label_map
+        ))
         scores_c = scoring.score_concept_candidates_prejoined(
             candidates_df, enc_feats, emb_table, params, cfg.max_types,
             dim=cfg.emb_dim, label_map=label_map,
