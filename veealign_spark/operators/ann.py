@@ -276,6 +276,10 @@ def lsh_candidates_multiprobe(
     # with identical (id, tbl, bucket) rows out. Buckets come from the
     # Arrow-batched signer (bit-identical sign bits, see _buckets_pd)
     # instead of n_tables*n_planes interpreted fold expressions.
+    # lazy checkpoint: the q (probe-exploded) and c sides are DIFFERENT
+    # subplans over `home`, so exchange reuse cannot deduplicate them —
+    # without the checkpoint the signing pass runs once per side
+    # (measured min-of-5: 0.94 -> 0.72 s at sf0.1 with it)
     home = e.select(
         "id",
         F.posexplode(
@@ -283,7 +287,7 @@ def lsh_candidates_multiprobe(
                 F.col("v")
             )
         ).alias("tbl", "bucket"),
-    )
+    ).localCheckpoint(eager=False)
     probes = F.explode(
         F.array(
             F.col("bucket"),
@@ -575,13 +579,18 @@ def lsh_topk(
     # self-join (shuffle + second scan) just to re-attach the vector.
     # Signatures come from the Arrow-batched signer (bit-identical
     # sign bits, see _buckets_pd) instead of n_planes interpreted folds.
+    # lazy checkpoint: both join sides need (vector, bucket), so any
+    # plan either scans+signs the corpus twice or materializes the
+    # signed table once — the checkpoint picks materialize-once (the
+    # same bytes the bucket-join shuffle moves anyway; measured
+    # min-of-5: 0.75 -> 0.55 s at sf0.1)
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.element_at(
             _buckets_pd(dim, n_planes, [seed])(F.col(vec_col)), 1
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     a = e.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket")
     c = e.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
     if max_bucket_size:
