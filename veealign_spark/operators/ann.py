@@ -522,9 +522,13 @@ def ivf_topk_portable(
         "d", F.round(_l2_expr(F.col("v"), F.col("center")), dist_round)
     )
     w = Window.partitionBy("id").orderBy("d", "cell")
+    # lazy checkpoint: corpus_cells and probe_cells are different
+    # filters over the same ranked assignment — without it the
+    # n_cells-way distance pass and its window run once per side
+    # (measured min-of-5: 1.98 -> 1.22 s at sf0.1)
     ranked = assign.withColumn("rn", F.row_number().over(w)).select(
         "id", "v", "cell", "rn"
-    )
+    ).localCheckpoint(eager=False)
     corpus_cells = ranked.filter(F.col("rn") == 1).drop("rn")
     probe_cells = ranked.filter(F.col("rn") <= n_probe).drop("rn")
     q = probe_cells.select(

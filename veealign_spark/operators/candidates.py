@@ -107,7 +107,9 @@ def blocked_candidates(
     lexicon: DataFrame | None = None,
 ) -> DataFrame:
     """J1' blocked candidate join with explicit hot-key salting."""
-    k1 = _blocking_keys(c1, anc1, lexicon)
+    # k1 feeds the census and the join side — materialize once (see
+    # blocked_candidates_multi); k2 is single-use
+    k1 = _blocking_keys(c1, anc1, lexicon).localCheckpoint(eager=False)
     k2 = _blocking_keys(c2, anc2, lexicon)
 
     # hot-key census on the (assumed larger) side 1; at cluster scale
@@ -164,9 +166,14 @@ def blocked_candidates_multi(
     universe (hotness is a property of the combined corpus), and the
     emitted pair set is exactly the unrestricted output filtered to
     pairs touching the listed sources."""
+    # lazy checkpoint: the key table feeds the hot census AND both join
+    # sides — three references over an entity-universe-sized table
+    # whose build includes the regex normalization and a dedup
+    # aggregate; materializing once measured min-of-5 0.53 -> 0.30 s
+    # at bench scale (keys are short strings — never corpus-sized)
     k = _blocking_keys(concepts, top_ancestor, lexicon).withColumn(
         "src", F.substring_index("key", "#", 1)
-    )
+    ).localCheckpoint(eager=False)
     freq = k.groupBy("block_key").count()
     hot = freq.filter(F.col("count") > hot_key_threshold).select(
         "block_key", F.lit(True).alias("is_hot")

@@ -211,6 +211,10 @@ def materialize_kg(
             "kind",
         )
         .dropDuplicates()
+        # lazy checkpoint: kg_triples, kg_entities (twice) and kg_edges
+        # all derive from this KG-sized table — materialize the rewrite
+        # join + dedup once instead of once per derived table
+        .localCheckpoint(eager=False)
     )
     kg_entities = (
         canon.select(F.col("subj").alias("entity"))
