@@ -266,6 +266,13 @@ def score_candidates_stage(
         tu.unpersist()
     timings["vocab"] = time.time() - t0
 
+    # The caller may hand candidates as a Future (run_pipeline overlaps
+    # the candidates stage materialization with the vocabulary-probe
+    # job above — the two share no inputs beyond already-materialized
+    # stages). Resolve it only now, after the probe has run.
+    if hasattr(candidates_df, "result"):
+        candidates_df = candidates_df.result()
+
     # AQE coalesces the (byte-wise tiny) candidate table to very few
     # partitions, which would serialize the CPU-heavy scoring UDF —
     # explicitly re-spread across the cluster before the kernel.
@@ -505,11 +512,21 @@ def run_pipeline(
         .select("ent1", "ent2")
     )
 
-    candidates_df = ledger.stage("candidates", lambda: all_cand)
-    scores_all, vector_mode, timings = score_candidates_stage(
-        spark, cfg, params, triples, concepts, features, prop_ctx,
-        candidates_df, prop_cand, label_map=label_map, terms=score_terms,
-    )
+    # The candidates stage job and the scoring stage's vocabulary-probe
+    # job are independent (candidates needs contexts+concepts, the
+    # probe needs triples+concepts — all already materialized), so the
+    # candidates materialization runs on a background thread while the
+    # probe executes; score_candidates_stage resolves the future right
+    # after the probe, before anything consumes the candidate table.
+    from concurrent.futures import ThreadPoolExecutor as _TPEcand
+
+    with _TPEcand(1) as _cex:
+        _f_cand = _cex.submit(ledger.stage, "candidates", lambda: all_cand)
+        scores_all, vector_mode, timings = score_candidates_stage(
+            spark, cfg, params, triples, concepts, features, prop_ctx,
+            _f_cand, prop_cand, label_map=label_map, terms=score_terms,
+        )
+        candidates_df = _f_cand.result()
     scores = ledger.stage("scores", lambda: scores_all)
 
     threshold = params.threshold
