@@ -198,3 +198,41 @@ def test_multi_source_pipeline(spark, fixture_pair):
     )
     two = {(r["ent1"], r["ent2"]) for r in res2["accepted"].select("ent1", "ent2").collect()}
     assert two == {(a, b) for a, b in ((r["ent1"], r["ent2"]) for r in acc) if b.startswith("src2#")}
+
+
+def test_score_stage_future_candidates_equal_dataframe(spark, pipeline_result):
+    """run_pipeline hands the candidates table to the scoring stage as
+    a Future (its materialization overlaps the vocabulary-probe job);
+    the incremental plan passes a plain DataFrame. Both input shapes
+    must produce identical scores."""
+    from concurrent.futures import Future
+
+    from pyspark.sql import functions as F
+
+    from veealign_spark.operators import candidates as cand
+    from veealign_spark.plans.pipeline import score_candidates_stage
+
+    (res, cfg) = pipeline_result
+    pn = cand.with_norm(res["props"])
+    prop_cand = (
+        pn.select("kind", F.col("src").alias("src1"), F.col("key").alias("ent1"))
+        .join(
+            pn.select("kind", F.col("src").alias("src2"), F.col("key").alias("ent2")),
+            "kind",
+        )
+        .filter(F.col("src1") < F.col("src2"))
+        .select("ent1", "ent2")
+    )
+
+    def run(cand_arg):
+        scores, _, _ = score_candidates_stage(
+            spark, cfg, res["params"], res["triples"], res["concepts"],
+            res["features"], res["prop_contexts"], cand_arg, prop_cand,
+        )
+        return scores.select("ent1", "ent2", "score", "is_prop")
+
+    fut: Future = Future()
+    fut.set_result(res["candidates"])
+    a, b = run(res["candidates"]), run(fut)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
